@@ -1,0 +1,176 @@
+"""Deterministic edge-case tests for the kernel (SURVEY.md §2.B fine print)."""
+
+from __future__ import annotations
+
+from medea_spark.compiler import compile_schema_text
+from medea_spark.kernel import (
+    ADDITIONAL_PROP_FOUND_BUT_BANNED,
+    NOT_JSON,
+    NOT_ONE_OF_OPTIONS,
+    OUT_OF_BOUNDS_ARRAY_LENGTH,
+    REQUIRED_PROPERTY_IS_MISSING,
+    validate_document,
+)
+
+
+def make(text: str):
+    return compile_schema_text(text)
+
+
+EMPTY_TUPLE = make(
+    "$schema $start\n"
+    "    $type\n"
+    "        $array\n"
+    "    $tuple\n"
+)
+
+EMPTY_PROPS = make(
+    "$schema $start\n"
+    "    $type\n"
+    "        $object\n"
+    "    $properties\n"
+)
+
+KV_SCHEMA = make(
+    "$schema $start\n"
+    "    $type\n"
+    "        $object\n"
+    "    $properties\n"
+    '        $property-name "k"\n'
+    "        $property-schema $number\n"
+)
+
+RECURSIVE_PROPS = make(
+    "$schema $start\n"
+    "    $type\n"
+    "        node\n"
+    "\n"
+    "$schema node\n"
+    "    $type\n"
+    "        $object\n"
+    "    $properties\n"
+    '        $property-name "value"\n'
+    "        $property-schema $number\n"
+    '        $property-name "next"\n'
+    "        $property-schema node\n"
+    "        $optional-property\n"
+)
+
+
+def test_empty_tuple_only_accepts_unit():
+    # SPEC via Analysis.hs:268-270 — empty $tuple implies exact length 0.
+    assert validate_document(EMPTY_TUPLE, "[]")[0]
+    ok, v = validate_document(EMPTY_TUPLE, "[1]")
+    assert not ok and v[0][1] == OUT_OF_BOUNDS_ARRAY_LENGTH
+
+
+def test_empty_properties_only_accepts_empty_object():
+    # SPEC.md:359-362 — $properties with nothing else: only {} is valid.
+    assert validate_document(EMPTY_PROPS, "{}")[0]
+    ok, v = validate_document(EMPTY_PROPS, '{"a": 1}')
+    assert not ok and v[0][1] == ADDITIONAL_PROP_FOUND_BUT_BANNED
+
+
+def test_not_json():
+    ok, v = validate_document(KV_SCHEMA, '{"k": 1')
+    assert not ok and v == [("", NOT_JSON, "")]
+    ok, v = validate_document(KV_SCHEMA, "NaN")
+    assert not ok and v[0][1] == NOT_JSON  # Aeson rejects NaN/Infinity
+
+
+def test_violation_pointers_and_codes():
+    ok, v = validate_document(KV_SCHEMA, '{"k": "no"}')
+    assert not ok and v == [("/k", NOT_ONE_OF_OPTIONS, "$start")]
+    ok, v = validate_document(KV_SCHEMA, "{}")
+    assert not ok and v == [("/k", REQUIRED_PROPERTY_IS_MISSING, "$start")]
+    ok, v = validate_document(KV_SCHEMA, '{"x": 1}')
+    assert not ok and v[0] == ("/x", ADDITIONAL_PROP_FOUND_BUT_BANNED, "$start")
+    ok, v = validate_document(KV_SCHEMA, "7")
+    assert not ok and v == [("", NOT_ONE_OF_OPTIONS, "$start")]
+
+
+def test_banned_additional_precedes_required_and_recursion():
+    # Medea.hs:372-391 — ban check over all keys first, then required.
+    ok, v = validate_document(KV_SCHEMA, '{"z": {"deep": 1}}')
+    assert not ok
+    assert v[0] == ("/z", ADDITIONAL_PROP_FOUND_BUT_BANNED, "$start")
+
+
+def test_collect_all_mode():
+    ok, v = validate_document(KV_SCHEMA, '{"x": 1, "y": 2}', collect_all=True)
+    assert not ok
+    codes = sorted((p, c) for p, c, _ in v)
+    assert codes == [
+        ("/k", REQUIRED_PROPERTY_IS_MISSING),
+        ("/x", ADDITIONAL_PROP_FOUND_BUT_BANNED),
+        ("/y", ADDITIONAL_PROP_FOUND_BUT_BANNED),
+    ]
+
+
+def test_recursive_property_schema():
+    # Only $type edges must be acyclic (Analysis.hs:115-121); property
+    # references may recurse.
+    doc = '{"value": 1, "next": {"value": 2, "next": {"value": 3}}}'
+    assert validate_document(RECURSIVE_PROPS, doc)[0]
+    bad = '{"value": 1, "next": {"value": "x"}}'
+    ok, v = validate_document(RECURSIVE_PROPS, bad)
+    assert not ok and v == [("/next/value", NOT_ONE_OF_OPTIONS, "node")]
+
+
+def test_deep_nesting_guard():
+    deep = "[" * 300 + "]" * 300
+    ok, v = validate_document(make("$schema $start\n"), deep)
+    # Either verdict is defensible for >256 depth, but it must not crash.
+    assert isinstance(ok, bool)
+
+
+def test_json_pointer_escaping():
+    graph = make(
+        "$schema $start\n"
+        "    $type\n"
+        "        $object\n"
+        "    $properties\n"
+        '        $property-name "a/b"\n'
+        "        $property-schema $number\n"
+    )
+    ok, v = validate_document(graph, '{"a/b": "s"}')
+    assert not ok and v[0][0] == "/a~1b"
+
+
+def test_sum_type_first_success_wins():
+    graph = make(
+        "$schema $start\n"
+        "    $type\n"
+        "        aaa\n"
+        "        bbb\n"
+        "\n"
+        "$schema aaa\n"
+        "    $type\n"
+        "        $string\n"
+        "    $string-values\n"
+        '        "hit"\n'
+        "\n"
+        "$schema bbb\n"
+        "    $type\n"
+        "        $string\n"
+    )
+    # "hit" matches aaa; any other string falls through to bbb.
+    assert validate_document(graph, '"hit"')[0]
+    assert validate_document(graph, '"other"')[0]
+    assert not validate_document(graph, "5")[0]
+
+
+def test_specs_only_apply_through_named_schema():
+    # A bare $array element reached with no parent checks type only
+    # (Medea.hs:329-336): inner arrays of any shape are fine.
+    graph = make(
+        "$schema $start\n"
+        "    $type\n"
+        "        $array\n"
+        "    $min-length 1\n"
+        "    $element-type\n"
+        "        $array\n"
+    )
+    assert validate_document(graph, "[[1, \"x\", {}]]")[0]
+    assert not validate_document(graph, "[]")[0]  # min-length on $start
+    assert not validate_document(graph, "[5]")[0]  # element not an array
