@@ -1,0 +1,144 @@
+"""Two-parallelism-level scaling evidence (north rule: throughput
+scaling efficiency ≥ 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the driver instruction
+the two "cluster sizes" are two local parallelism levels on the same
+input: local[N] vs local[4N].  Each level runs in a fresh subprocess
+(its own JVM) timing the identical job — scan → salted repartition →
+kernel UDF → per-partition summary — over the same pre-materialized
+corpus parquet.
+
+Usage: python BENCH/run_scaling.py [--rows 400000] [--n 8]
+Writes BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from medea_spark.corpus import corpus_schema_graph
+from medea_spark.engine import validate_table
+from medea_spark.engine.session import get_spark
+
+cpus = int(sys.argv[1])
+corpus_path = sys.argv[2]
+spark = get_spark(app_name=f"medea-scaling-{{cpus}}", cores=cpus,
+                  shuffle_partitions=max(2 * cpus, 16))
+spark.sparkContext.setLogLevel("ERROR")
+corpus = spark.read.parquet(corpus_path)
+corpus.count()  # warm the scan path / JVM
+graph = corpus_schema_graph()
+t0 = time.monotonic()
+run = validate_table(corpus, graph, num_partitions=max(2 * cpus, 16),
+                     skewed_keys=["repo-mono"])
+summary = run.summary.collect()
+dt = time.monotonic() - t0
+rows = sum(r["rows"] for r in summary)
+viol = sum(r["violation_count"] for r in summary)
+print("RESULT " + json.dumps({"cpus": cpus, "sec": dt, "rows": rows,
+                              "violations": viol,
+                              "files_per_sec": rows / dt,
+                              "violations_per_sec": viol / dt}))
+"""
+
+
+def run_level(cpus: int, corpus_path: str) -> dict:
+    script = _WORKER.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), corpus_path],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=str(REPO),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT ") :])
+    raise RuntimeError(f"no RESULT line in worker output:\n{out.stdout}\n{out.stderr}")
+
+
+def materialize_corpus(rows: int, path: str) -> None:
+    script = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from medea_spark.corpus import generate_corpus
+from medea_spark.engine.session import get_spark
+spark = get_spark(app_name="corpus-gen", cores=16, shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+generate_corpus(spark, {rows}, seed=42, num_partitions=64).write.mode("overwrite").parquet({path!r})
+"""
+    subprocess.run([sys.executable, "-c", script], check=True, cwd=str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=400_000)
+    ap.add_argument("--n", type=int, default=8, help="small level; large level is 4N")
+    args = ap.parse_args()
+
+    scratch = tempfile.mkdtemp(prefix="medea_scaling_")
+    corpus_path = f"{scratch}/corpus.parquet"
+    materialize_corpus(args.rows, corpus_path)
+
+    small = run_level(args.n, corpus_path)
+    large = run_level(4 * args.n, corpus_path)
+    efficiency = (large["files_per_sec"] / small["files_per_sec"]) / 4.0
+
+    summary = {
+        "rows": args.rows,
+        "level_n": small,
+        "level_4n": large,
+        "scaling_efficiency": round(efficiency, 3),
+        "meets_0.8_target": efficiency >= 0.8,
+    }
+    print(json.dumps(summary, indent=2))
+
+    md = f"""# BENCH/BASELINE.md — measured numbers
+
+Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by `python BENCH/run_scaling.py --rows {args.rows} --n {args.n}`.
+
+## Two-cluster-size scaling evidence (north rule)
+
+Same job (scan → salted repo-hash repartition → Arrow kernel UDF →
+per-partition summary), same pre-materialized corpus parquet
+({args.rows:,} rows replaying the Medea fixture corpus, one giant
+monorepo at ~35% of rows, skew-salted), two local parallelism levels,
+each in a fresh JVM:
+
+| parallelism | wall sec | validated files/sec | violations/sec |
+|---|---|---|---|
+| local[{args.n}] (N)   | {small['sec']:.2f} | {small['files_per_sec']:,.0f} | {small['violations_per_sec']:,.0f} |
+| local[{4*args.n}] (4N) | {large['sec']:.2f} | {large['files_per_sec']:,.0f} | {large['violations_per_sec']:,.0f} |
+
+**Scaling efficiency N→4N = (throughput@4N / throughput@N) / 4 =
+{efficiency:.3f}** ({'meets' if efficiency >= 0.8 else 'BELOW'} the ≥ 0.8 target).
+
+The validation kernel is embarrassingly parallel (pure per-row UDF, one
+shuffle for partitioning, map-side partial aggregation for summaries);
+deviations from 1.0 are Arrow batch overhead amortization and the fixed
+single-stage tail.
+
+## Reference baseline
+
+juspay/medea publishes no benchmarks (see BASELINE.md at repo root);
+the comparison target is the north-rule scaling criterion above plus
+the per-query timings recorded per-round in BENCH_r{{N}}.json.
+"""
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print(f"wrote {REPO / 'BENCH' / 'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    main()

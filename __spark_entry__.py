@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the Medea validation kernel over a JSON
+column at sf0.001, returning the per-constraint violation census.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2), each verified against DuckDB at sf0.01.  The
+validation queries run the *real* kernel UDF; their oracles reimplement
+the Medea semantics independently with DuckDB JSON functions — an
+engine-vs-engine differential test.  Every computed column is aliased
+identically on both sides (the driver hash-compares values by sorted
+column name).
 """
 
 from __future__ import annotations
@@ -12,27 +17,345 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medea_spark.checks import (
+    chi_square_statistic,
+    column_stats,
+    duplicate_keys,
+    lang_size_histogram,
+    top_k,
+)
+from medea_spark.checks.referential import referential_report
+from medea_spark.compiler import compile_schema_text
+from medea_spark.corpus import corpus_schema_graph, generate_corpus
+from medea_spark.engine import detect_skewed_keys, make_validation_udf, validate_table
+
+# ---------------------------------------------------------------------------
+# The events.props validation target: a closed object {"k": number}
+# (exercises B1-B5, B11 of SURVEY.md §2.B through the kernel UDF).
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA_TEXT = (
+    "$schema $start\n"
+    "    $type\n"
+    "        $object\n"
+    "    $properties\n"
+    '        $property-name "k"\n'
+    "        $property-schema $number\n"
+)
+
+_EVENTS_GRAPH = None
+
+
+def _events_graph():
+    global _EVENTS_GRAPH
+    if _EVENTS_GRAPH is None:
+        _EVENTS_GRAPH = compile_schema_text(EVENTS_SCHEMA_TEXT)
+    return _EVENTS_GRAPH
+
+
+def _events_with_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props with deterministic corruption injected so every
+    validation-error class occurs; the DuckDB oracle applies the same
+    mutation expression (see _ORACLE_CONTENT)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 11
+    content = (
+        F.when(m == 0, F.substring("props", 2, 1_000_000_000))
+        .when(m == 1, F.replace(F.col("props"), F.lit('"k"'), F.lit('"x"')))
+        .when(
+            m == 2,
+            F.replace(
+                F.replace(F.col("props"), F.lit('{"k": '), F.lit('{"k": "')),
+                F.lit("}"),
+                F.lit('"}'),
+            ),
+        )
+        .when(m == 3, F.lit("[1, 2]"))
+        .otherwise(F.col("props"))
+    )
+    return events.withColumn("content", content)
+
+
+_ORACLE_CONTENT = """
+    case when event_id % 11 = 0 then substr(props, 2)
+         when event_id % 11 = 1 then replace(props, '"k"', '"x"')
+         when event_id % 11 = 2 then replace(replace(props, '{"k": ', '{"k": "'), '}', '"}')
+         when event_id % 11 = 3 then '[1, 2]'
+         else props end
+"""
+
+# Independent SQL re-statement of the kernel semantics for the events
+# schema (first-error-wins order: NOT_JSON → type membership →
+# banned-additional (any key) → required-missing → property type).
+_ORACLE_CONSTRAINT = """
+    case when content is null or not json_valid(content) then 'NOT_JSON'
+         when json_type(content) <> 'OBJECT' then 'NOT_ONE_OF_OPTIONS'
+         when len(list_filter(json_keys(content), k -> k <> 'k')) > 0
+              then 'ADDITIONAL_PROP_FOUND_BUT_BANNED'
+         when json_type(content, '$.k') is null then 'REQUIRED_PROPERTY_IS_MISSING'
+         when json_type(content, '$.k') not in ('BIGINT', 'UBIGINT', 'DOUBLE')
+              then 'NOT_ONE_OF_OPTIONS'
+         else null end
+"""
+
+_ORACLE_EVENTS_CTE = f"""
+with mutated as (
+    select event_id, ({_ORACLE_CONTENT}) as content from events
+), judged as (
+    select event_id, content, ({_ORACLE_CONSTRAINT}) as failed_constraint
+    from mutated
+)
+"""
+
+
+def _validated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_with_content(spark, sf_dir)
+    udf = make_validation_udf(_events_graph())
+    return df.withColumn("_vr", udf(F.col("content"))).select(
+        "event_id",
+        "content",
+        F.col("_vr.is_valid").alias("is_valid"),
+        F.col("_vr.violations").alias("violations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+
+def q_medea_validate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row verdicts from the kernel UDF (C4)."""
+    return _validated_events(spark, sf_dir).select("event_id", "is_valid")
+
+
+def q_medea_violation_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded violation census by constraint class (C4 + explode + C7)."""
+    v = _validated_events(spark, sf_dir)
+    return (
+        v.filter(~F.col("is_valid"))
+        .select(F.explode("violations").alias("viol"))
+        .groupBy(F.col("viol.failed_constraint").alias("failed_constraint"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("failed_constraint")
+    )
+
+
+def q_medea_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row pass/fail summary with the sha256 invariant (C5/C7)."""
+    v = _validated_events(spark, sf_dir).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_valid").cast("long")).alias("n_valid"),
+        F.sum((~F.col("is_valid")).cast("long")).alias("n_invalid"),
+        F.count_distinct(F.col("content_sha256")).alias("distinct_sha"),
+    )
+
+
+def q_colstats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column stats: null rate, min/max, distinct (C8/C9)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_stats(
+        li, ["l_orderkey", "l_quantity", "l_returnflag"], exact_distinct=True
+    ).orderBy("col_name")
+
+
+def q_dup_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted duplicate-key detection (C10)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return duplicate_keys(ev, ["user_id", "event_type"], salted=True).orderBy(
+        "user_id", "event_type"
+    )
+
+
+def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity via broadcast anti-join (C11)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # Withhold every 7th dim key so the check has non-trivial signal
+    # (mirrors the corpus generator's orphan injection).
+    dim = cust.filter(F.col("c_custkey") % 7 != 0)
+    return referential_report(
+        ev.withColumnRenamed("user_id", "custkey"),
+        dim.withColumnRenamed("c_custkey", "custkey"),
+        "custkey",
+    )
+
+
+def q_hist_lang_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × size-bucket histogram (C12 input)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_size_histogram(docs, size_col="n_chars").orderBy("lang", "size_bucket")
+
+
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift statistic between two document snapshots (C12)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    baseline = lang_size_histogram(docs.filter(src_num % 2 == 0))
+    current = lang_size_histogram(docs.filter(src_num % 2 == 1))
+    stat = chi_square_statistic(current, baseline)
+    return stat.select(
+        F.round("statistic", 4).alias("statistic"),
+        "dof",
+        "n_current",
+        "n_baseline",
+    )
+
+
+def q_topk_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break (C13)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_k(docs, ["lang"], 3)
+
+
+def q_docs_setdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op diffing (C14): en docs vs src0 docs, both directions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("lang") == "en").select("doc_id")
+    b = docs.filter(F.col("source") == "src0").select("doc_id")
+    return (
+        a.exceptAll(b)
+        .withColumn("side", F.lit("a_only"))
+        .unionByName(b.exceptAll(a).withColumn("side", F.lit("b_only")))
+        .orderBy("side", "doc_id")
+    )
+
+
+def q_corpus_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline on the synthetic repo-file corpus: skew detection,
+    salted repartition, kernel UDF, per-partition summary (C1-C7).
+    Rows-only check: the corpus is engine-generated, so DuckDB has no
+    view of it; ground truth is asserted in tests/test_engine_spark.py."""
+    df = generate_corpus(spark, 20_000, seed=42)
+    skewed = detect_skewed_keys(df, "repo", skew_fraction=0.10)
+    run = validate_table(df, corpus_schema_graph(), num_partitions=16, skewed_keys=skewed)
+    return run.summary.orderBy("part_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship at sf0.001: kernel validation over the JSON column with
+    the violation census."""
+    return q_medea_violation_classes(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "medea_validate_rows": q_medea_validate_rows,
+        "medea_violation_classes": q_medea_violation_classes,
+        "medea_validation_summary": q_medea_validation_summary,
+        "colstats_lineitem": q_colstats_lineitem,
+        "dup_keys_events": q_dup_keys_events,
+        "ri_orphans": q_ri_orphans,
+        "hist_lang_size": q_hist_lang_size,
+        "drift_chi2": q_drift_chi2,
+        "topk_langs": q_topk_langs,
+        "docs_setdiff": q_docs_setdiff,
+        "corpus_validation": q_corpus_validation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "medea_validate_rows": _ORACLE_EVENTS_CTE
+        + "select event_id, (failed_constraint is null) as is_valid from judged",
+        "medea_violation_classes": _ORACLE_EVENTS_CTE
+        + """
+        select failed_constraint, count(*) as cnt
+        from judged where failed_constraint is not null
+        group by failed_constraint order by failed_constraint
+        """,
+        "medea_validation_summary": _ORACLE_EVENTS_CTE
+        + """
+        select count(*) as n_rows,
+               cast(sum(case when failed_constraint is null then 1 else 0 end) as bigint) as n_valid,
+               cast(sum(case when failed_constraint is null then 0 else 1 end) as bigint) as n_invalid,
+               count(distinct sha256(content)) as distinct_sha
+        from judged
+        """,
+        "colstats_lineitem": """
+        with cols as (
+            select 'l_orderkey' as col_name, count(*) as n_rows,
+                   cast(sum(case when l_orderkey is null then 1 else 0 end) as bigint) as n_nulls,
+                   cast(min(l_orderkey) as varchar) as min_value,
+                   cast(max(l_orderkey) as varchar) as max_value,
+                   count(distinct l_orderkey) as distinct_count
+            from lineitem
+            union all
+            select 'l_quantity', count(*),
+                   cast(sum(case when l_quantity is null then 1 else 0 end) as bigint),
+                   cast(min(l_quantity) as varchar), cast(max(l_quantity) as varchar),
+                   count(distinct l_quantity)
+            from lineitem
+            union all
+            select 'l_returnflag', count(*),
+                   cast(sum(case when l_returnflag is null then 1 else 0 end) as bigint),
+                   cast(min(l_returnflag) as varchar), cast(max(l_returnflag) as varchar),
+                   count(distinct l_returnflag)
+            from lineitem
+        )
+        select col_name, n_rows, n_nulls,
+               round(cast(n_nulls as double) / greatest(n_rows, 1), 6) as null_rate,
+               min_value, max_value, distinct_count
+        from cols order by col_name
+        """,
+        "dup_keys_events": """
+        select user_id, event_type, count(*) as dup_count
+        from events group by user_id, event_type having count(*) > 1
+        order by user_id, event_type
+        """,
+        "ri_orphans": """
+        select e.user_id as custkey, count(*) as orphan_rows
+        from events e
+        left join (select c_custkey from customer where c_custkey % 7 <> 0) c
+               on e.user_id = c.c_custkey
+        where c.c_custkey is null
+        group by e.user_id order by orphan_rows desc, custkey asc
+        """,
+        "hist_lang_size": """
+        select lang,
+               cast(case when n_chars <= 0 then -1 else floor(log2(n_chars)) end as int)
+                   as size_bucket,
+               count(*) as cnt
+        from documents group by 1, 2 order by lang, size_bucket
+        """,
+        "drift_chi2": """
+        with hist as (
+            select lang,
+                   cast(sum(case when cast(substr(source, 4, 10) as int) % 2 = 1 then 1 else 0 end) as bigint) as o,
+                   cast(sum(case when cast(substr(source, 4, 10) as int) % 2 = 0 then 1 else 0 end) as bigint) as b
+            from documents group by lang
+        ), tot as (
+            select cast(sum(o) as bigint) as n_cur, cast(sum(b) as bigint) as n_base from hist
+        ), cells as (
+            select h.o,
+                   case when h.b > 0
+                        then h.b * cast(t.n_cur as double) / t.n_base
+                        else 0.5 end as e,
+                   t.n_cur, t.n_base
+            from hist h cross join tot t
+        )
+        select round(sum(pow(o - e, 2) / e), 4) as statistic,
+               count(*) - 1 as dof,
+               max(n_cur) as n_current,
+               max(n_base) as n_baseline
+        from cells
+        """,
+        "topk_langs": """
+        select lang, count(*) as cnt from documents
+        group by lang order by cnt desc, lang asc limit 3
+        """,
+        "docs_setdiff": """
+        with a as (select doc_id from documents where lang = 'en'),
+             b as (select doc_id from documents where source = 'src0'),
+             a_only as (select doc_id, 'a_only' as side from (select * from a except all select * from b)),
+             b_only as (select doc_id, 'b_only' as side from (select * from b except all select * from a))
+        select * from a_only union all select * from b_only
+        order by side, doc_id
+        """,
+        # corpus_validation: engine-generated input → rows-only check.
+    }

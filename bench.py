@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries + kernel throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, "extra": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input tables (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  MEDEA_BENCH_ROWS     corpus rows for the files/sec measure (default 300000)
+
+Each query is materialized with the no-op sink (``format("noop")``) so
+timing covers scan → compute without driver-collect overhead.  The
+corpus throughput measure pre-materializes the synthetic repo-file
+table to parquet (untimed) and then times scan → salted repartition →
+kernel UDF → summary, reporting validated files/sec — the north-rule
+headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_rows = int(os.environ.get("MEDEA_BENCH_ROWS", "300000"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from medea_spark.corpus import corpus_schema_graph, generate_corpus
+    from medea_spark.engine import validate_table
+    from medea_spark.engine.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="medea-bench", cores=cpus, shuffle_partitions=max(2 * cpus, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM + Python worker pool (not timed).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    def run_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        run_noop(fn(spark, sf_dir))
+        results[name] = round(time.monotonic() - t0, 3)
+
+    # Kernel throughput: validated files/sec over the synthetic corpus.
+    scratch = tempfile.mkdtemp(prefix="medea_bench_")
+    corpus_path = f"{scratch}/corpus.parquet"
+    try:
+        generate_corpus(spark, bench_rows, seed=42, num_partitions=max(cpus, 8)).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        graph = corpus_schema_graph()
+        t0 = time.monotonic()
+        run = validate_table(
+            corpus,
+            graph,
+            num_partitions=max(2 * cpus, 32),
+            skewed_keys=["repo-mono"],
+        )
+        summary = run.summary.collect()
+        validate_sec = time.monotonic() - t0
+        n_validated = sum(r["rows"] for r in summary)
+        n_violations = sum(r["violation_count"] for r in summary)
+        results["corpus_kernel_validate"] = round(validate_sec, 3)
+        files_per_sec = round(n_validated / validate_sec, 1)
+        violations_per_sec = round(n_violations / validate_sec, 1)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "medea_spark_total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "extra": {
+                    "cpus": cpus,
+                    "corpus_rows": bench_rows,
+                    "validated_files_per_sec": files_per_sec,
+                    "violations_per_sec": violations_per_sec,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

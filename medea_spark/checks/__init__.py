@@ -1,0 +1,25 @@
+"""Table-level data-quality checks (SURVEY.md §2.C C8-C14)."""
+
+from medea_spark.checks.drift import (
+    chi_square_p_value,
+    chi_square_statistic,
+    drift_decision,
+    lang_size_histogram,
+)
+from medea_spark.checks.referential import orphan_rows, referential_report
+from medea_spark.checks.stats import column_stats, diff_tables, top_k
+from medea_spark.checks.uniqueness import duplicate_keys, uniqueness_report
+
+__all__ = [
+    "chi_square_p_value",
+    "chi_square_statistic",
+    "column_stats",
+    "diff_tables",
+    "drift_decision",
+    "duplicate_keys",
+    "lang_size_histogram",
+    "orphan_rows",
+    "referential_report",
+    "top_k",
+    "uniqueness_report",
+]

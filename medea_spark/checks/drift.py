@@ -1,0 +1,139 @@
+"""Distribution-drift detection via chi-square on histograms
+(SURVEY.md §2.C C12; north rule: "distribution-drift checks on
+lang/size histograms via chi-square against a baseline snapshot").
+
+The histograms are one hash-aggregate each (tiny outputs); the
+chi-square statistic is a full-outer join of the two histograms plus a
+sum — all relational.  The p-value is computed on the driver from the
+statistic with a pure-Python regularized incomplete gamma (no scipy in
+the runtime image).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lang_size_histogram(
+    df: DataFrame, lang_col: str = "lang", size_col: str | None = None
+) -> DataFrame:
+    """(lang [, size_bucket], cnt) histogram; size buckets are
+    power-of-two (floor(log2(size))) — width_bucket-style, constant
+    bucket count regardless of scale."""
+    if size_col is None:
+        return df.groupBy(F.col(lang_col).alias("lang")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    bucket = F.when(F.col(size_col) <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(F.col(size_col)))
+    )
+    return df.groupBy(
+        F.col(lang_col).alias("lang"), bucket.cast("int").alias("size_bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def chi_square_statistic(
+    current: DataFrame, baseline: DataFrame, on: list[str] | None = None
+) -> DataFrame:
+    """One-row (statistic, dof, n_current, n_baseline).
+
+    Expected counts are the baseline proportions scaled to the current
+    total; cells absent on one side get count 0 (full-outer join).
+    Cells with zero baseline get a 0.5 pseudo-count so novel categories
+    register as drift instead of dividing by zero.
+    """
+    on = on or ["lang"]
+    cur = current.groupBy(*on).agg(F.sum("cnt").alias("o"))
+    base = baseline.groupBy(*on).agg(F.sum("cnt").alias("b"))
+    joined = cur.join(base, on=on, how="full_outer").select(
+        *on,
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+    )
+    totals = joined.agg(
+        F.sum("o").alias("n_cur"), F.sum("b").alias("n_base")
+    )
+    with_e = joined.crossJoin(F.broadcast(totals)).withColumn(
+        "e",
+        F.when(
+            F.col("b") > 0, F.col("b") * F.col("n_cur") / F.col("n_base")
+        ).otherwise(F.lit(0.5)),
+    )
+    return with_e.agg(
+        F.sum(((F.col("o") - F.col("e")) ** 2) / F.col("e")).alias("statistic"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.first("n_cur").alias("n_current"),
+        F.first("n_base").alias("n_baseline"),
+    )
+
+
+def _gamma_p(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x) — series for x < a+1,
+    Lentz continued fraction otherwise (standard numerics, no scipy)."""
+    if x <= 0:
+        return 0.0
+    lg = math.lgamma(a)
+    if x < a + 1.0:
+        term = 1.0 / a
+        total = term
+        n = a
+        for _ in range(500):
+            n += 1.0
+            term *= x / n
+            total += term
+            if abs(term) < abs(total) * 1e-14:
+                break
+        return total * math.exp(-x + a * math.log(x) - lg)
+    # continued fraction for Q(a, x)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    q = math.exp(-x + a * math.log(x) - lg) * h
+    return 1.0 - q
+
+
+def chi_square_p_value(statistic: float, dof: int) -> float:
+    """Survival function of the chi-square distribution."""
+    if dof <= 0:
+        return 1.0
+    return max(0.0, min(1.0, 1.0 - _gamma_p(dof / 2.0, statistic / 2.0)))
+
+
+def drift_decision(
+    current: DataFrame,
+    baseline: DataFrame,
+    on: list[str] | None = None,
+    alpha: float = 0.01,
+) -> dict:
+    """Driver-side decision: {statistic, dof, p_value, drifted}."""
+    row = chi_square_statistic(current, baseline, on).collect()[0]
+    stat = float(row["statistic"] or 0.0)
+    dof = int(row["dof"])
+    p = chi_square_p_value(stat, dof)
+    return {
+        "statistic": stat,
+        "dof": dof,
+        "p_value": p,
+        "drifted": p < alpha,
+        "n_current": int(row["n_current"] or 0),
+        "n_baseline": int(row["n_baseline"] or 0),
+    }

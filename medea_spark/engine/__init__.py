@@ -1,0 +1,31 @@
+"""PySpark shell around the validation kernel."""
+
+from medea_spark.engine.partitioning import (
+    PART_ID,
+    SALT_ID,
+    detect_skewed_keys,
+    repartition_for_validation,
+    with_partition_columns,
+)
+from medea_spark.engine.session import get_spark
+from medea_spark.engine.validate import (
+    RESULT_STRUCT,
+    VIOLATION_STRUCT,
+    ValidationRun,
+    make_validation_udf,
+    validate_table,
+)
+
+__all__ = [
+    "PART_ID",
+    "RESULT_STRUCT",
+    "SALT_ID",
+    "VIOLATION_STRUCT",
+    "ValidationRun",
+    "detect_skewed_keys",
+    "get_spark",
+    "make_validation_udf",
+    "repartition_for_validation",
+    "validate_table",
+    "with_partition_columns",
+]

@@ -1,0 +1,89 @@
+"""Explicit repo-hash partitioning with deterministic skew salting.
+
+North-rule requirement: "partitioning / shuffle / skew handled
+explicitly".  At 10^12 files a handful of giant monorepos dominate row
+counts; hash-partitioning by ``repo`` alone would leave a few straggler
+partitions running the (CPU-bound) validation kernel long after the
+rest finish.  AQE rebalances *joins* but not UDF-stage input balance,
+so we salt ourselves.
+
+Everything is deterministic (hash of data columns, never ``rand()``) so
+a rerun/resume assigns every row to the same ``(part_id, salt_id)`` —
+that is what makes per-partition checkpoints trustworthy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PART_ID = "part_id"
+SALT_ID = "salt_id"
+
+
+def detect_skewed_keys(
+    df: DataFrame,
+    key_col: str = "repo",
+    skew_fraction: float = 0.05,
+    max_keys: int = 64,
+) -> list[str]:
+    """Pre-pass: keys holding more than ``skew_fraction`` of all rows.
+
+    One partial-aggregated groupBy over the key column only (column
+    pruning keeps the scan narrow); the result is a tiny driver-side
+    list, bounded by ``max_keys``.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.count()
+    if total == 0:
+        return []
+    threshold = max(1, int(total * skew_fraction))
+    rows = (
+        counts.filter(F.col("cnt") >= threshold)
+        .orderBy(F.desc("cnt"))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key_col] for r in rows]
+
+
+def with_partition_columns(
+    df: DataFrame,
+    num_partitions: int,
+    key_col: str = "repo",
+    salt_col: str = "path",
+    skewed_keys: list[str] | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Add deterministic ``part_id`` (repo-hash bucket) and ``salt_id``
+    (0 for normal repos; a path-hash bucket for giant monorepos)."""
+    part = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions)).cast("int")
+    if skewed_keys:
+        salt = (
+            F.when(
+                F.col(key_col).isin(list(skewed_keys)),
+                F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets)).cast("int"),
+            )
+            .otherwise(F.lit(0))
+        )
+    else:
+        salt = F.lit(0)
+    return df.withColumn(PART_ID, part).withColumn(SALT_ID, salt.cast("int"))
+
+
+def repartition_for_validation(
+    df: DataFrame,
+    num_partitions: int,
+    key_col: str = "repo",
+    salt_col: str = "path",
+    skewed_keys: list[str] | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """The single exchange of the validation pipeline: co-locate rows by
+    salted repo hash so the UDF stage is balanced and every downstream
+    per-partition aggregate (summaries, checkpoints) reuses this
+    partitioning without another shuffle."""
+    with_cols = with_partition_columns(
+        df, num_partitions, key_col, salt_col, skewed_keys, salt_buckets
+    )
+    return with_cols.repartition(num_partitions, F.col(PART_ID), F.col(SALT_ID))

@@ -1,0 +1,161 @@
+"""The distributed validation pipeline (C4-C7 of SURVEY.md §2.C).
+
+Dataflow (one exchange total):
+
+    scan → [repartition by salted repo-hash] → pandas-UDF kernel
+         → per-partition summaries (map-side partial agg, no extra
+           shuffle beyond the final tiny agg exchange)
+         → violation explode (only invalid rows)
+
+The kernel is the only non-relational piece: Catalyst cannot see inside
+it, so we keep it pure per-row (embarrassingly parallel) and move data
+across the JVM→Python boundary in Arrow batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds memory).
+
+Reference parity: one ``validate`` call per document
+(src/Data/Medea.hs:225-232) becomes one element of an Arrow batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from medea_spark.compiler.analyzer import SchemaGraph
+from medea_spark.engine.partitioning import (
+    PART_ID,
+    SALT_ID,
+    repartition_for_validation,
+)
+from medea_spark.kernel.validator import NOT_JSON, validate_document
+
+VIOLATION_STRUCT = T.StructType(
+    [
+        T.StructField("json_pointer", T.StringType(), False),
+        T.StructField("failed_constraint", T.StringType(), False),
+        T.StructField("schema_name", T.StringType(), False),
+    ]
+)
+
+RESULT_STRUCT = T.StructType(
+    [
+        T.StructField("is_valid", T.BooleanType(), False),
+        T.StructField("violations", T.ArrayType(VIOLATION_STRUCT, False), False),
+    ]
+)
+
+
+def make_validation_udf(graph: SchemaGraph, collect_all: bool = False):
+    """Build the Arrow-vectorized validation kernel UDF.
+
+    The compiled graph is small (≪1 MB); closing over it ships it once
+    per task via the pickled UDF — the per-executor cost a broadcast
+    would have, without the extra plumbing.
+    """
+
+    def _validate_batch(batch: pd.Series) -> pd.DataFrame:
+        valids: list[bool] = []
+        violations: list[list[dict]] = []
+        vd = validate_document
+        for content in batch:
+            if content is None:
+                valids.append(False)
+                violations.append(
+                    [
+                        {
+                            "json_pointer": "",
+                            "failed_constraint": NOT_JSON,
+                            "schema_name": "",
+                        }
+                    ]
+                )
+                continue
+            ok, viols = vd(graph, content, collect_all)
+            valids.append(ok)
+            violations.append(
+                [
+                    {
+                        "json_pointer": p,
+                        "failed_constraint": c,
+                        "schema_name": s,
+                    }
+                    for p, c, s in viols
+                ]
+            )
+        return pd.DataFrame({"is_valid": valids, "violations": violations})
+
+    return F.pandas_udf(_validate_batch, RESULT_STRUCT)
+
+
+@dataclass
+class ValidationRun:
+    """The three output relations of a validation pass."""
+
+    validated: DataFrame  # input + is_valid + n_violations + content_sha256
+    violations: DataFrame  # exploded (key cols, json_pointer, failed_constraint, schema_name)
+    summary: DataFrame  # per (part_id, salt_id) pass/fail counts
+
+
+def validate_table(
+    df: DataFrame,
+    graph: SchemaGraph,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    num_partitions: int | None = None,
+    skewed_keys: list[str] | None = None,
+    collect_all: bool = False,
+    with_sha256: bool = True,
+    repartition: bool = True,
+) -> ValidationRun:
+    """Validate every row's ``content_col`` against the compiled graph.
+
+    Set ``repartition=False`` when the input is already partitioned the
+    way you want (e.g. resuming from checkpoints preserves the original
+    part assignment because part_id is a pure hash of the repo column).
+    """
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if repartition:
+        base = repartition_for_validation(
+            df, num_partitions, key_col=key_cols[0], skewed_keys=skewed_keys
+        )
+    else:
+        from medea_spark.engine.partitioning import with_partition_columns
+
+        base = with_partition_columns(df, num_partitions, key_col=key_cols[0])
+
+    udf = make_validation_udf(graph, collect_all)
+    validated = base.withColumn("_vr", udf(F.col(content_col)))
+    validated = validated.withColumn("is_valid", F.col("_vr.is_valid")).withColumn(
+        "violations", F.col("_vr.violations")
+    ).drop("_vr")
+    if with_sha256:
+        # Per-row identity invariant vs the fixture corpus (BASELINE.json
+        # input_hint): sha256 of the exact content bytes, computed JVM-side.
+        validated = validated.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+    validated = validated.withColumn("n_violations", F.size("violations"))
+
+    violations = (
+        validated.filter(~F.col("is_valid"))
+        .select(*key_cols, PART_ID, F.explode("violations").alias("v"))
+        .select(
+            *key_cols,
+            PART_ID,
+            F.col("v.json_pointer").alias("json_pointer"),
+            F.col("v.failed_constraint").alias("failed_constraint"),
+            F.col("v.schema_name").alias("schema_name"),
+        )
+    )
+
+    summary = validated.groupBy(PART_ID).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("is_valid").cast("long")).alias("valid_rows"),
+        F.sum((~F.col("is_valid")).cast("long")).alias("invalid_rows"),
+        F.sum("n_violations").alias("violation_count"),
+        F.countDistinct(SALT_ID).alias("salt_buckets_seen"),
+    )
+    return ValidationRun(validated=validated, violations=violations, summary=summary)

@@ -1,0 +1,88 @@
+"""Resumable per-partition checkpointing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medea_spark.checkpoint import CheckpointStore, run_validation_with_checkpoints
+from medea_spark.corpus import corpus_schema_graph, generate_corpus
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CheckpointStore(spark, str(tmp_path / "ckpt"))
+
+
+def test_full_run_then_resume_skips_everything(spark, store):
+    df = generate_corpus(spark, 1200, seed=42)
+    graph = corpus_schema_graph()
+    first = run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="r1", num_partitions=8, n_waves=2
+    )
+    assert first.parts_done == 8 and first.parts_skipped == 0
+    # checkpoint rows cover all partitions with metrics
+    ckpt = store.read().filter(F.col("run_id") == "r1")
+    assert ckpt.select("part_id").distinct().count() == 8
+    totals = ckpt.agg(F.sum("rows")).collect()[0][0]
+    assert totals == 1200
+    # resume: same run id → nothing to do
+    second = run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="r1", num_partitions=8, n_waves=2
+    )
+    assert second.parts_done == 0 and second.parts_skipped == 8
+    assert second.waves_run == 0
+
+
+def test_partial_resume_processes_remainder(spark, store):
+    df = generate_corpus(spark, 800, seed=7)
+    graph = corpus_schema_graph()
+    # Simulate a crashed run: checkpoint only partitions of wave 0.
+    full = run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="tmp", num_partitions=8, n_waves=4
+    )
+    assert full.parts_done == 8
+    wave0_parts = [
+        r.part_id
+        for r in store.read().filter(
+            (F.col("run_id") == "tmp") & (F.col("wave") == 0)
+        ).collect()
+    ]
+    crashed = store.read().filter(
+        (F.col("run_id") == "tmp") & (F.col("wave") == 0)
+    ).withColumn("run_id", F.lit("r2"))
+    store.append(crashed)
+
+    resumed = run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="r2", num_partitions=8, n_waves=4
+    )
+    assert resumed.parts_skipped == len(wave0_parts)
+    assert resumed.parts_done == 8 - len(wave0_parts)
+    # Combined checkpoints now cover all rows exactly once.
+    total = (
+        store.read()
+        .filter(F.col("run_id") == "r2")
+        .agg(F.sum("rows"))
+        .collect()[0][0]
+    )
+    full_total = (
+        store.read()
+        .filter(F.col("run_id") == "tmp")
+        .agg(F.sum("rows"))
+        .collect()[0][0]
+    )
+    assert total == full_total == 800
+
+
+def test_lineage_fields_present(spark, store):
+    df = generate_corpus(spark, 200, seed=1)
+    graph = corpus_schema_graph()
+    run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="r3", num_partitions=4, n_waves=1,
+        input_fingerprint="corpus-n200-seed1",
+    )
+    row = store.read().filter(F.col("run_id") == "r3").collect()[0]
+    assert row["schema_fingerprint"]
+    assert row["input_fingerprint"] == "corpus-n200-seed1"
+    assert row["wall_ms"] >= 0
+    assert row["committed_at"] is not None

@@ -1,0 +1,103 @@
+"""Table-level checks over the corpus and the driver star schema."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from medea_spark.checks import (
+    chi_square_p_value,
+    column_stats,
+    drift_decision,
+    duplicate_keys,
+    lang_size_histogram,
+    orphan_rows,
+    referential_report,
+    top_k,
+    uniqueness_report,
+)
+from medea_spark.corpus import dim_repos, generate_corpus
+
+from tests.conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = generate_corpus(spark, 3000, seed=42).cache()
+    yield df
+    df.unpersist()
+
+
+def test_column_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (None, "d")], ["x", "y"]
+    )
+    stats = {r["col_name"]: r for r in column_stats(df, ["x", "y"], exact_distinct=True).collect()}
+    assert stats["x"]["n_rows"] == 4
+    assert stats["x"]["n_nulls"] == 1
+    assert stats["x"]["null_rate"] == 0.25
+    assert stats["x"]["min_value"] == "1" and stats["x"]["max_value"] == "3"
+    assert stats["x"]["distinct_count"] == 3
+    assert stats["y"]["n_nulls"] == 1
+
+
+def test_duplicate_keys_salted_equals_plain(corpus):
+    keys = ["repo", "path", "commit"]
+    salted = duplicate_keys(corpus, keys, salted=True).orderBy(*keys).collect()
+    plain = duplicate_keys(corpus, keys, salted=False).orderBy(*keys).collect()
+    assert salted == plain
+    assert len(salted) > 0  # generator injects duplicates
+
+
+def test_uniqueness_report(corpus):
+    row = uniqueness_report(corpus, ["repo", "path", "commit"]).collect()[0]
+    assert row["total_rows"] == 3000
+    assert row["distinct_keys"] + row["surplus_rows"] == 3000
+    assert row["duplicate_keys"] > 0
+
+
+def test_referential_orphans(spark, corpus):
+    dim = dim_repos(spark)
+    orphans = orphan_rows(corpus, dim, "repo")
+    report = referential_report(corpus, dim, "repo").collect()
+    assert orphans.count() > 0  # generator withholds some repos
+    assert all(r["repo"].startswith("repo-") for r in report)
+    # broadcast anti-join must appear in the physical plan
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_drift_detected_between_base_and_drifted(spark):
+    base = lang_size_histogram(generate_corpus(spark, 4000, seed=42, drift=False))
+    same = lang_size_histogram(generate_corpus(spark, 4000, seed=43, drift=False))
+    drifted = lang_size_histogram(generate_corpus(spark, 4000, seed=42, drift=True))
+    no_drift = drift_decision(same, base)
+    yes_drift = drift_decision(drifted, base)
+    assert not no_drift["drifted"], no_drift
+    assert yes_drift["drifted"], yes_drift
+    assert yes_drift["statistic"] > no_drift["statistic"]
+
+
+def test_chi_square_p_value_sanity():
+    # Known quantiles: chi2(0.95, dof=4) ≈ 9.488, chi2(0.99, dof=4) ≈ 13.277
+    assert math.isclose(chi_square_p_value(9.488, 4), 0.05, abs_tol=2e-3)
+    assert math.isclose(chi_square_p_value(13.277, 4), 0.01, abs_tol=1e-3)
+    assert chi_square_p_value(0.0, 4) == 1.0
+
+
+def test_size_bucket_histogram(corpus):
+    hist = lang_size_histogram(
+        corpus.withColumn("n_chars", F.length("content")), size_col="n_chars"
+    )
+    rows = hist.collect()
+    assert all(r["cnt"] > 0 for r in rows)
+    assert {"lang", "size_bucket", "cnt"} == set(hist.columns)
+
+
+def test_top_k_deterministic(spark):
+    df = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    a = top_k(df, ["lang"], 3).collect()
+    b = top_k(df, ["lang"], 3).collect()
+    assert a == b and len(a) == 3

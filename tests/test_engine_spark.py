@@ -1,0 +1,118 @@
+"""End-to-end Spark pipeline tests: corpus → kernel UDF → summaries.
+
+The ground-truth columns of the generated corpus make the whole
+pipeline self-checking: engine verdict == expected_valid for every
+row, engine sha256 == expected_sha (the per-row invariant of
+BASELINE.json input_hint), and the first violation's constraint code
+matches the expected class.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medea_spark.corpus import corpus_schema_graph, generate_corpus
+from medea_spark.engine import detect_skewed_keys, validate_table
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    df = generate_corpus(spark, N_ROWS, seed=42)
+    graph = corpus_schema_graph()
+    skewed = detect_skewed_keys(df, "repo", skew_fraction=0.10)
+    assert "repo-mono" in skewed  # the giant monorepo must be detected
+    result = validate_table(df, graph, num_partitions=8, skewed_keys=skewed)
+    result.validated.cache()
+    yield result
+    result.validated.unpersist()
+
+
+def test_verdicts_match_ground_truth(run):
+    mismatches = run.validated.filter(
+        F.col("is_valid") != F.col("expected_valid")
+    ).count()
+    assert mismatches == 0
+
+
+def test_sha256_invariant(run):
+    bad = run.validated.filter(F.col("content_sha256") != F.col("expected_sha")).count()
+    assert bad == 0
+
+
+def test_first_violation_constraint_class(run):
+    # For invalid rows, the first reported constraint must equal the
+    # expected class (first-error-wins semantics).
+    bad = run.validated.filter(~F.col("is_valid")).filter(
+        F.col("violations")[0]["failed_constraint"] != F.col("expected_constraint")
+    )
+    assert bad.count() == 0
+
+
+def test_summary_totals(run):
+    rows = run.summary.agg(
+        F.sum("rows").alias("rows"),
+        F.sum("valid_rows").alias("valid"),
+        F.sum("invalid_rows").alias("invalid"),
+    ).collect()[0]
+    assert rows["rows"] == N_ROWS
+    assert rows["valid"] + rows["invalid"] == N_ROWS
+    assert rows["invalid"] > 0 and rows["valid"] > 0
+
+
+def test_violations_relation(run):
+    v = run.violations
+    assert set(v.columns) == {
+        "repo",
+        "path",
+        "commit",
+        "part_id",
+        "json_pointer",
+        "failed_constraint",
+        "schema_name",
+    }
+    total_from_summary = run.summary.agg(F.sum("violation_count")).collect()[0][0]
+    assert v.count() == total_from_summary
+
+
+def test_partitioning_is_deterministic(spark, run):
+    # Rerunning the pipeline assigns identical part_ids (no rand()),
+    # which is what makes checkpoints resumable.
+    df = generate_corpus(spark, 500, seed=42)
+    graph = corpus_schema_graph()
+    a = validate_table(df, graph, num_partitions=8).validated.select(
+        "repo", "path", "commit", "part_id"
+    )
+    b = validate_table(df, graph, num_partitions=8).validated.select(
+        "repo", "path", "commit", "part_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_giant_repo_is_salted(run):
+    buckets = (
+        run.validated.filter(F.col("repo") == "repo-mono")
+        .select("salt_id")
+        .distinct()
+        .count()
+    )
+    assert buckets > 1  # monorepo rows spread across salt buckets
+
+
+def test_corpus_determinism(spark):
+    a = generate_corpus(spark, 300, seed=7).toPandas().sort_values("path")
+    b = generate_corpus(spark, 300, seed=7, num_partitions=3).toPandas().sort_values("path")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_corpus_has_duplicate_keys(spark):
+    df = generate_corpus(spark, 2000, seed=42)
+    dups = (
+        df.groupBy("repo", "path", "commit")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups > 0
