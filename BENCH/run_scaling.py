@@ -22,42 +22,65 @@ import sys
 import tempfile
 from datetime import datetime, timezone
 from pathlib import Path
+from shutil import which as shutil_which
 
 REPO = Path(__file__).resolve().parent.parent
 
 _WORKER = r"""
-import json, os, sys, time
-sys.path.insert(0, {repo!r})
+import json, os, statistics, sys, time
+sys.path.insert(0, "__REPO__")
 from medea_spark.corpus import corpus_schema_graph
 from medea_spark.engine import validate_table
 from medea_spark.engine.session import get_spark
 
 cpus = int(sys.argv[1])
 corpus_path = sys.argv[2]
-spark = get_spark(app_name=f"medea-scaling-{{cpus}}", cores=cpus,
+spark = get_spark(app_name=f"medea-scaling-{cpus}", cores=cpus,
                   shuffle_partitions=max(2 * cpus, 16))
 spark.sparkContext.setLogLevel("ERROR")
 corpus = spark.read.parquet(corpus_path)
-corpus.count()  # warm the scan path / JVM
 graph = corpus_schema_graph()
-t0 = time.monotonic()
-run = validate_table(corpus, graph, num_partitions=max(2 * cpus, 16),
-                     skewed_keys=["repo-mono"])
-summary = run.summary.collect()
-dt = time.monotonic() - t0
+
+def job():
+    run = validate_table(corpus, graph, num_partitions=max(2 * cpus, 16),
+                         skewed_keys=["repo-mono"])
+    return run.summary.collect()
+
+# Untimed warm-up: spawns every Python worker (pandas/pyarrow imports)
+# through the real pipeline — steady-state throughput is the metric,
+# matching a long-lived cluster.
+summary = job()
+times = []
+for _ in range(3):
+    t0 = time.monotonic()
+    summary = job()
+    times.append(time.monotonic() - t0)
+dt = statistics.median(times)
 rows = sum(r["rows"] for r in summary)
 viol = sum(r["violation_count"] for r in summary)
-print("RESULT " + json.dumps({"cpus": cpus, "sec": dt, "rows": rows,
-                              "violations": viol,
+print("RESULT " + json.dumps({"cpus": cpus, "sec": dt,
+                              "runs": [round(t, 2) for t in times],
+                              "rows": rows, "violations": viol,
                               "files_per_sec": rows / dt,
                               "violations_per_sec": viol / dt}))
 """
 
 
 def run_level(cpus: int, corpus_path: str) -> dict:
-    script = _WORKER.format(repo=str(REPO))
+    """One parallelism level in a fresh JVM, CPU-pinned with taskset.
+
+    Pinning matters for honesty: pandas-UDF pipelines run Python workers
+    *outside* the local[K] task-slot budget, so an unpinned local[8]
+    borrows idle host cores for its kernel processes and the N vs 4N
+    comparison silently stops being N vs 4N.  ``taskset -c 0..cpus-1``
+    bounds JVM + Python together — the true "cluster size" analogue.
+    """
+    script = _WORKER.replace("__REPO__", str(REPO))
+    cmd = [sys.executable, "-c", script, str(cpus), corpus_path]
+    if shutil_which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), corpus_path],
+        cmd,
         capture_output=True,
         text=True,
         check=True,
@@ -84,7 +107,7 @@ generate_corpus(spark, {rows}, seed=42, num_partitions=64).write.mode("overwrite
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=400_000)
+    ap.add_argument("--rows", type=int, default=6_000_000)
     ap.add_argument("--n", type=int, default=8, help="small level; large level is 4N")
     args = ap.parse_args()
 
@@ -111,24 +134,29 @@ Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by `python 
 
 ## Two-cluster-size scaling evidence (north rule)
 
-Same job (scan → salted repo-hash repartition → Arrow kernel UDF →
-per-partition summary), same pre-materialized corpus parquet
-({args.rows:,} rows replaying the Medea fixture corpus, one giant
-monorepo at ~35% of rows, skew-salted), two local parallelism levels,
-each in a fresh JVM:
+Same job (size-balanced scan → Arrow kernel UDF → repo-hash part_id →
+map-side-combined per-partition summary; shuffle-free content path —
+only aggregate rows cross the exchange), same pre-materialized corpus
+parquet ({args.rows:,} rows replaying the Medea fixture corpus, one
+giant monorepo at ~35% of rows), two local parallelism levels, each a
+fresh JVM **CPU-pinned with `taskset -c 0..K-1`** (bounding JVM +
+Python workers together — unpinned local[K] lets pandas-UDF workers
+borrow idle host cores, corrupting the comparison), one untimed
+warm-up then the median of 3 timed runs (steady-state, matching a
+long-lived cluster):
 
-| parallelism | wall sec | validated files/sec | violations/sec |
+| parallelism | wall sec (median of 3) | validated files/sec | violations/sec |
 |---|---|---|---|
-| local[{args.n}] (N)   | {small['sec']:.2f} | {small['files_per_sec']:,.0f} | {small['violations_per_sec']:,.0f} |
-| local[{4*args.n}] (4N) | {large['sec']:.2f} | {large['files_per_sec']:,.0f} | {large['violations_per_sec']:,.0f} |
+| local[{args.n}] (N)   | {small['sec']:.2f} {small['runs']} | {small['files_per_sec']:,.0f} | {small['violations_per_sec']:,.0f} |
+| local[{4*args.n}] (4N) | {large['sec']:.2f} {large['runs']} | {large['files_per_sec']:,.0f} | {large['violations_per_sec']:,.0f} |
 
 **Scaling efficiency N→4N = (throughput@4N / throughput@N) / 4 =
 {efficiency:.3f}** ({'meets' if efficiency >= 0.8 else 'BELOW'} the ≥ 0.8 target).
 
-The validation kernel is embarrassingly parallel (pure per-row UDF, one
-shuffle for partitioning, map-side partial aggregation for summaries);
-deviations from 1.0 are Arrow batch overhead amortization and the fixed
-single-stage tail.
+The validation kernel is embarrassingly parallel (pure per-row Arrow
+UDF); the content bytes never shuffle — per-partition summaries
+aggregate map-side and exchange only kilobytes.  Deviations from 1.0
+are Arrow batch amortization and the fixed stage-scheduling tail.
 
 ## Reference baseline
 

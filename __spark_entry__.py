@@ -30,6 +30,17 @@ from medea_spark.checks.referential import referential_report
 from medea_spark.compiler import compile_schema_text
 from medea_spark.corpus import corpus_schema_graph, generate_corpus
 from medea_spark.engine import detect_skewed_keys, make_validation_udf, validate_table
+from medea_spark.pipeline import (
+    brute_force_topk,
+    exact_duplicate_groups,
+    extract_features,
+    lsh_ann_topk,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_duplicate_groups,
+    synthetic_media_table,
+    text_profile,
+)
 
 # ---------------------------------------------------------------------------
 # The events.props validation target: a closed object {"k": number}
@@ -237,6 +248,88 @@ def q_corpus_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.summary.orderBy("part_id")
 
 
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus exact copies of every 10th doc (ids +100000) —
+    the deterministic duplicate-injection shared with the oracle SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+_ORACLE_DOCS2 = """
+with docs2 as (
+    select doc_id, text from documents
+    union all
+    select doc_id + 100000, text from documents where doc_id % 10 = 0
+)
+"""
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, quality, lang-ID, fingerprint."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return text_profile(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-md5 hash aggregation."""
+    return exact_duplicate_groups(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text"
+    ).orderBy("text_hash")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4) from the md5-derived portable hash family."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    return minhash_signatures(docs, "doc_id", "text", n=3, k=4).orderBy("doc_id")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs over the duplicate-injected subset."""
+    docs = _docs_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 100000 < 400)
+    )
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (exact baseline)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return brute_force_topk(vecs, queries, k=3).orderBy("query_id", "rank")
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup groups (rows-only: blake2b hashing is Python-side)."""
+    return simhash_duplicate_groups(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text"
+    ).orderBy("simhash")
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: recall vs the exact
+    baseline is asserted in tests/test_pipeline.py)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(vecs, queries, k=3, n_planes=4).orderBy("query_id", "rank")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary blobs → deterministic features
+    (rows-only: media table is engine-synthesized; decode is stubbed)."""
+    media = synthetic_media_table(spark, 120)
+    feats = extract_features(media, dim=16)
+    return feats.select("media_id", "n_bytes", "blob_sha256").orderBy("media_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship at sf0.001: kernel validation over the JSON column with
     the violation census."""
@@ -256,6 +349,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
+        "text_profile": q_text_profile,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "simhash_groups": q_simhash_groups,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -357,5 +458,115 @@ def oracle_sql() -> dict[str, str]:
         select * from a_only union all select * from b_only
         order by side, doc_id
         """,
-        # corpus_validation: engine-generated input → rows-only check.
+        "text_profile": r"""
+        with words as (
+            select doc_id, text,
+                   regexp_split_to_array(trim(lower(text)), '\s+') as w
+            from documents where doc_id < 200
+        )
+        select doc_id,
+               length(text) as n_chars,
+               case when length(trim(text)) = 0 then 0
+                    else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as n_tokens_bpe,
+               round(cast(len(list_filter(w, x -> x in ('a','an','and','in','is','of','or','the','to'))) as double)
+                     / greatest(len(w), 1), 6) as stopword_ratio,
+               round(cast(length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[A-Za-z0-9]', '', 'g')) as double)
+                     / greatest(length(regexp_replace(text, '\s', '', 'g')), 1), 6) as punct_ratio,
+               round((
+                   (case when (case when length(trim(text)) = 0 then 0
+                               else len(regexp_split_to_array(trim(text), '\s+')) end) between 10 and 100000
+                         then 1.0 else 0.0 end)
+                 + (case when round(cast(length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[A-Za-z0-9]', '', 'g')) as double)
+                              / greatest(length(regexp_replace(text, '\s', '', 'g')), 1), 6) <= 0.2
+                         then 1.0 else 0.0 end)
+                 + (case when round(cast(len(list_filter(w, x -> x in ('a','an','and','in','is','of','or','the','to'))) as double)
+                              / greatest(len(w), 1), 6) >= 0.01
+                         then 1.0 else 0.0 end)
+               ) / 3.0, 6) as quality_score,
+               case when len(list_filter(w, x -> x in ('the','and','of'))) > 0 then 'en'
+                    when len(list_filter(w, x -> x in ('der','die','und'))) > 0 then 'de'
+                    when len(list_filter(w, x -> x in ('le','la','et'))) > 0 then 'fr'
+                    when len(list_filter(w, x -> x in ('el','los','que'))) > 0 then 'es'
+                    else 'unknown' end as lang_guess,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) as fingerprint
+        from words order by doc_id
+        """,
+        "dedup_exact": _ORACLE_DOCS2
+        + r"""
+        select md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) as text_hash,
+               count(*) as n_docs, min(doc_id) as keep_id
+        from docs2
+        group by 1 having count(*) > 1
+        order by text_hash
+        """,
+        "minhash_signatures": r"""
+        with words as (
+            select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as w
+            from documents where doc_id < 100
+        ), sh as (
+            select distinct doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                         i -> array_to_string(w[i:i+2], ' '))) as shingle
+            from words
+        )
+        select doc_id,
+               min(cast(('0x' || substr(md5('0 ' || shingle), 1, 15)) as bigint)) as h0,
+               min(cast(('0x' || substr(md5('1 ' || shingle), 1, 15)) as bigint)) as h1,
+               min(cast(('0x' || substr(md5('2 ' || shingle), 1, 15)) as bigint)) as h2,
+               min(cast(('0x' || substr(md5('3 ' || shingle), 1, 15)) as bigint)) as h3
+        from sh group by doc_id order by doc_id
+        """,
+        "jaccard_pairs": _ORACLE_DOCS2
+        + r"""
+        , subset as (
+            select * from docs2
+            where doc_id % 10 = 0 and doc_id % 100000 < 400
+        ), words as (
+            select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as w
+            from subset
+        ), sh as (
+            select distinct doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                         i -> array_to_string(w[i:i+2], ' '))) as shingle
+            from words
+        ), sizes as (
+            select doc_id, count(*) as n_sh from sh group by doc_id
+        ), inter as (
+            select x.doc_id as doc_a, y.doc_id as doc_b, count(*) as i
+            from sh x join sh y using (shingle)
+            where x.doc_id < y.doc_id
+            group by 1, 2
+        )
+        select doc_a, doc_b,
+               round(cast(i as double) / (sa.n_sh + sb.n_sh - i), 6) as jaccard
+        from inter
+        join sizes sa on sa.doc_id = doc_a
+        join sizes sb on sb.doc_id = doc_b
+        where cast(i as double) / (sa.n_sh + sb.n_sh - i) >= 0.5
+        order by doc_a, doc_b
+        """,
+        "ann_cosine_topk": """
+        with q as (
+            select vec_id as query_id, embedding::DOUBLE[] as qv
+            from embeddings where vec_id < 5
+        ), c as (
+            select vec_id, embedding::DOUBLE[] as cv from embeddings
+        ), scored as (
+            select q.query_id, c.vec_id as neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                         6) as sim
+            from q cross join c
+            where c.vec_id <> q.query_id
+        ), ranked as (
+            select *, row_number() over (partition by query_id
+                                         order by sim desc, neighbor_id asc) as rank
+            from scored
+        )
+        select query_id, neighbor_id, rank, sim from ranked
+        where rank <= 3 order by query_id, rank
+        """,
+        # corpus_validation, simhash_groups, lsh_ann_topk, media_features:
+        # engine-generated or Python-hash-based inputs → rows-only checks.
     }

@@ -61,7 +61,7 @@ def make_validation_udf(graph: SchemaGraph, collect_all: bool = False):
         valids: list[bool] = []
         violations: list[list[dict]] = []
         vd = validate_document
-        for content in batch:
+        for content in batch.tolist():
             if content is None:
                 valids.append(False)
                 violations.append(
@@ -109,13 +109,24 @@ def validate_table(
     skewed_keys: list[str] | None = None,
     collect_all: bool = False,
     with_sha256: bool = True,
-    repartition: bool = True,
+    repartition: bool = False,
 ) -> ValidationRun:
     """Validate every row's ``content_col`` against the compiled graph.
 
-    Set ``repartition=False`` when the input is already partitioned the
-    way you want (e.g. resuming from checkpoints preserves the original
-    part assignment because part_id is a pure hash of the repo column).
+    ``repartition=False`` (the default, and the 100 TB answer): the
+    kernel is embarrassingly parallel and the source's scan splits are
+    already size-balanced (``spark.sql.files.maxPartitionBytes``), so
+    physically shuffling the content bytes to co-locate by repo would
+    cost more than the validation itself.  ``part_id`` is computed as a
+    *column* (pure repo-hash); the per-partition summary then shuffles
+    only the map-side-combined aggregate rows — kilobytes, not the
+    table.  A giant monorepo cannot straggle this plan because work is
+    split by bytes, not by repo.
+
+    ``repartition=True`` physically clusters rows by salted repo-hash —
+    use it when the *output* should be written clustered by part_id
+    (checkpoint/resume file locality, downstream repo-local joins).
+    Skew salting (deterministic path-hash) keeps the exchange balanced.
     """
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -126,7 +137,9 @@ def validate_table(
     else:
         from medea_spark.engine.partitioning import with_partition_columns
 
-        base = with_partition_columns(df, num_partitions, key_col=key_cols[0])
+        base = with_partition_columns(
+            df, num_partitions, key_col=key_cols[0], skewed_keys=skewed_keys
+        )
 
     udf = make_validation_udf(graph, collect_all)
     validated = base.withColumn("_vr", udf(F.col(content_col)))

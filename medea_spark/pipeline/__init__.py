@@ -1,0 +1,64 @@
+"""Large-scale training-data pipeline operators: dedup, similarity
+search, text analysis, multimodal column plumbing."""
+
+from medea_spark.pipeline.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_duplicate_groups,
+)
+from medea_spark.pipeline.multimodal import (
+    FEATURE_SCHEMA,
+    MEDIA_TABLE_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    synthetic_media_table,
+)
+from medea_spark.pipeline.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_near_dup_pairs,
+    lsh_ann_topk,
+    lsh_signatures,
+)
+from medea_spark.pipeline.textstats import (
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    text_profile,
+    token_count_bpe,
+    token_count_ws,
+)
+
+__all__ = [
+    "FEATURE_SCHEMA",
+    "MEDIA_TABLE_SCHEMA",
+    "brute_force_topk",
+    "cosine",
+    "cosine_near_dup_pairs",
+    "exact_duplicate_groups",
+    "extract_features",
+    "fingerprint",
+    "frame_sample_plan",
+    "lang_id",
+    "lsh_ann_topk",
+    "lsh_signatures",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "punct_ratio",
+    "quality_score",
+    "shingles",
+    "simhash",
+    "simhash_duplicate_groups",
+    "stopword_ratio",
+    "synthetic_media_table",
+    "text_profile",
+    "token_count_bpe",
+    "token_count_ws",
+]

@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each with a clear scale story:
+
+* exact           — one hash aggregation on md5(text); the 100 TB
+                    workhorse.  md5 is bit-stable across engines, so
+                    the DuckDB oracle reproduces it exactly.
+* n-gram Jaccard  — shingle explode + self-join on shingle; candidate
+                    pairs only ever meet if they share a shingle, so
+                    the join is bucketed by construction.  Quadratic
+                    only within a shingle's posting list (cap it).
+* MinHash + LSH   — k min-hashes from md5-derived 64-bit hashes, banded
+                    into LSH keys; near-dup candidates = docs sharing a
+                    band key.  Everything is expressible with built-in
+                    functions (no UDF), and because the hash is md5 the
+                    signatures are engine-portable.
+* SimHash         — 64-bit majority-vote fingerprint over token hashes;
+                    vectorized numpy inside mapInPandas (bit-parallel),
+                    near-dups = identical simhash (or small Hamming
+                    distance via multi-probe bands).
+
+Embedding-cosine near-dup lives in medea_spark.pipeline.similarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _norm_words(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, n_docs, keep_id): groups of byte-identical documents
+    (after lowercase+whitespace normalization); keep_id is the smallest
+    member — the canonical survivor of a dedup pass."""
+    h = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+    Documents shorter than n words produce no shingles."""
+    words = _norm_words(F.col(text_col))
+    n_grams = F.size(words) - (n - 1)
+    # Guard: Spark's sequence(1, 0) counts *down* — short docs need an
+    # explicit empty array (DuckDB's generate_series(1, 0) is empty).
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Document pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Scale guard: shingles appearing in more than ``max_posting`` docs
+    are dropped before the self-join (stopword-like shingles explode
+    quadratically and carry no dedup signal — standard posting-list
+    capping).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_posting)
+        .select("shingle")
+    )
+    sh = sh.join(posting_ok, "shingle")
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sh_a") + F.col("sh_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _md5_hash64(col: Column) -> Column:
+    """Portable unsigned-ish 60-bit integer from md5 — identical in
+    Spark and DuckDB (conv(substr(md5(x),1,15),16,10))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signatures from md5-seeded hash
+    family h_i(s) = hash64(i || ' ' || s).  One explode + one groupBy;
+    engine-portable (oracle SQL can reproduce bit-exactly)."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(_md5_hash64(F.concat(F.lit(f"{i} "), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band
+    (band key = md5 of the band's concatenated min-hashes)."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *parts)).alias("key"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (mapInPandas, numpy bit-parallel).
+
+    Token hashes come from Python's deterministic blake2b (seeded by
+    the token bytes only), so results are stable across runs/executors.
+    This is the designated Pandas-UDF fallback path: per-bit majority
+    voting is not expressible with built-in columnar ops at acceptable
+    cost (a 64x explode), so the kernel runs inside Arrow batches.
+    """
+    import hashlib
+
+    def _hash_token(tok: str) -> int:
+        return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            texts = pdf[text_col].tolist()
+            out = np.zeros(len(ids), dtype=np.uint64)
+            for i, text in enumerate(texts):
+                toks = (text or "").lower().split()
+                if not toks:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in toks:
+                    h = _hash_token(tok)
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+                    acc += np.where(bits.astype(bool), 1, -1)
+                sim = np.uint64(0)
+                for b in range(64):
+                    if acc[b] > 0:
+                        sim |= np.uint64(1) << np.uint64(b)
+                out[i] = sim
+            yield pd.DataFrame(
+                {"doc_id": ids, "simhash": out.astype(np.int64)}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, SIMHASH_SCHEMA
+    )
+
+
+def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Documents sharing an identical 64-bit simhash."""
+    s = simhash(df, id_col, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

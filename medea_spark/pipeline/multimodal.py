@@ -1,0 +1,154 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery — schemas, partition-friendly batch iteration,
+Arrow transfer shape, UDF signatures — is real and tested.  The actual
+media decoding is STUBBED (this container ships no image/audio codecs):
+``decoder="fake"`` produces deterministic synthetic features derived
+from the bytes, and ``decoder="real"`` raises NotImplementedError at
+the exact seam where PIL/ffmpeg would plug in.  Swapping the stub for a
+real codec changes no Spark plumbing.
+
+Scale notes: media blobs make rows wide — the mapInPandas iterator
+processes one Arrow batch at a time and never materializes a partition,
+so executor memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch × max_blob_size``.
+Production tables should cap blob size at write time and store larger
+media out-of-row (paths + byte ranges) — the metadata struct below has
+a ``uri`` field for exactly that.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("format", T.StringType(), True),  # png | wav | mp4 | ...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("uri", T.StringType(), True),  # out-of-row storage pointer
+    ]
+)
+
+MEDIA_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("blob_sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def _fake_decode_features(blob: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for decode → feature-extract: expands the
+    blob digest into a unit-norm float vector.  Same bytes → same
+    features, everywhere."""
+    digest = hashlib.sha256(blob).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    decoder: str = "fake",
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """blob → (media_id, n_bytes, blob_sha256, feature[dim]).
+
+    ``decoder="real"`` is the seam for PIL/torchaudio/ffmpeg — it
+    raises NotImplementedError here because the codecs are not in this
+    container (task brief: stub the decode, keep the plumbing real).
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nbytes, shas, feats = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(blob) if blob is not None else b""
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "real media decoding requires PIL/ffmpeg — not in this image"
+                    )
+                ids.append(mid)
+                nbytes.append(len(blob))
+                shas.append(hashlib.sha256(blob).hexdigest())
+                feats.append(_fake_decode_features(blob, dim))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": nbytes,
+                    "blob_sha256": shas,
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: (media_id, frame_idx, ts_ms) rows via
+    a JVM-side sequence explode over the metadata duration — the decode
+    of each planned frame is the stubbed seam above.  Keeping the plan
+    relational means Catalyst can prune/filter frames before any decode
+    work is scheduled."""
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    ts = F.sequence(F.lit(0), dur - 1, F.lit(every_ms))
+    return (
+        df.filter(F.col("meta.kind") == "video")
+        .select(F.col(id_col), F.posexplode(ts).alias("frame_idx", "ts_ms"))
+    )
+
+
+def synthetic_media_table(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/benches: blobs are
+    seeded byte strings, metadata alternates kinds."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n_rows):
+        kind = kinds[i % 3]
+        blob = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (
+                i,
+                bytearray(blob),
+                (
+                    kind,
+                    {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+                    64 if kind == "image" else None,
+                    64 if kind == "image" else None,
+                    16000 if kind == "audio" else None,
+                    5000 if kind == "video" else None,
+                    f"s3://media/{kind}/{i}",
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_TABLE_SCHEMA)

@@ -24,7 +24,9 @@ def run(spark):
     graph = corpus_schema_graph()
     skewed = detect_skewed_keys(df, "repo", skew_fraction=0.10)
     assert "repo-mono" in skewed  # the giant monorepo must be detected
-    result = validate_table(df, graph, num_partitions=8, skewed_keys=skewed)
+    result = validate_table(
+        df, graph, num_partitions=8, skewed_keys=skewed, repartition=True
+    )
     result.validated.cache()
     yield result
     result.validated.unpersist()
@@ -99,6 +101,20 @@ def test_giant_repo_is_salted(run):
         .count()
     )
     assert buckets > 1  # monorepo rows spread across salt buckets
+
+
+def test_noshuffle_matches_repartitioned(spark, run):
+    # The default shuffle-free plan and the clustered plan agree row-for-row.
+    df = generate_corpus(spark, 800, seed=42)
+    graph = corpus_schema_graph()
+    fast = validate_table(df, graph, num_partitions=8).validated.select(
+        "repo", "path", "commit", "is_valid", "part_id"
+    )
+    clustered = validate_table(
+        df, graph, num_partitions=8, repartition=True
+    ).validated.select("repo", "path", "commit", "is_valid", "part_id")
+    assert fast.exceptAll(clustered).count() == 0
+    assert clustered.exceptAll(fast).count() == 0
 
 
 def test_corpus_determinism(spark):

@@ -1,0 +1,219 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medea_spark.pipeline import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    exact_duplicate_groups,
+    extract_features,
+    frame_sample_plan,
+    lsh_ann_topk,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_duplicate_groups,
+    synthetic_media_table,
+    text_profile,
+)
+
+from tests.conftest import TESTDATA
+
+SF = f"{TESTDATA}/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    # Inject exact + near duplicates deterministically: copies of every
+    # 10th doc (exact), and copies with one word changed (near).
+    base = df.select("doc_id", "text", "lang")
+    exact = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    near = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+        "lang",
+    )
+    out = base.unionByName(exact).unionByName(near).cache()
+    out.count()
+    yield out
+    out.unpersist()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def test_text_profile(docs):
+    prof = text_profile(docs, "doc_id", "text")
+    row = prof.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_tokens_ws"] > 0
+    assert row["n_tokens_bpe"] >= row["n_tokens_ws"] - 1
+    assert 0.0 <= row["stopword_ratio"] <= 1.0
+    assert 0.0 <= row["punct_ratio"] <= 0.05  # word salad, no punctuation
+    assert row["quality_score"] in (0.0, 1 / 3, 2 / 3, 1.0) or 0 <= row["quality_score"] <= 1
+    assert len(row["fingerprint"]) == 32
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in text_profile(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_exact_duplicate_groups(docs):
+    groups = exact_duplicate_groups(docs, "doc_id", "text")
+    rows = groups.collect()
+    assert rows, "expected duplicate groups from injected copies"
+    assert all(r["n_docs"] >= 2 for r in rows)
+    # keep_id must be the original (smallest) doc_id
+    assert all(r["keep_id"] < 100000 for r in rows)
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], ["doc_id", "text"])
+    sh = shingles(df, "doc_id", "text", n=3)
+    got = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
+    assert got == {(2, "a b c"), (2, "b c d")}
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    rows = pairs.collect()
+    assert rows
+    # exact copies have jaccard 1.0; near copies high but < 1
+    exact_pairs = [
+        r for r in rows if r["doc_a"] < 100000 and r["doc_b"] == r["doc_a"] + 100000
+    ]
+    near_pairs = [
+        r for r in rows if r["doc_a"] < 100000 and r["doc_b"] == r["doc_a"] + 200000
+    ]
+    assert exact_pairs and all(r["jaccard"] == 1.0 for r in exact_pairs)
+    assert near_pairs and all(0.5 <= r["jaccard"] < 1.0 for r in near_pairs)
+
+
+def test_minhash_lsh_recall(docs):
+    # Every exact duplicate pair must be an LSH candidate (identical
+    # shingle sets → identical signatures → identical bands).
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text", k=8, bands=4).collect()
+    }
+    expected = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)).collect()
+    }
+    missing = expected - cand
+    assert not missing, f"exact dups missed by LSH: {missing}"
+
+
+def test_minhash_signature_determinism(docs):
+    a = minhash_signatures(docs, "doc_id", "text", k=4).orderBy("doc_id").collect()
+    b = minhash_signatures(docs, "doc_id", "text", k=4).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_simhash_exact_dups_collide(docs):
+    groups = simhash_duplicate_groups(docs, "doc_id", "text")
+    assert groups.count() > 0
+    s = simhash(docs.filter(F.col("doc_id").isin(0, 100000)), "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in s.collect()}
+    assert vals[0] == vals[100000]
+
+
+# --- similarity -------------------------------------------------------------
+
+
+def test_brute_force_topk(vecs):
+    queries = vecs.filter(F.col("vec_id") < 3)
+    top = brute_force_topk(vecs, queries, k=3)
+    rows = top.collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 <= r["sim"] <= 1.0
+    # ranks are 1..3 per query with non-increasing sim
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["sim"])
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recall(vecs):
+    # Random 64-dim embeddings are a worst case for hyperplane LSH (no
+    # cluster structure) — with 2 planes (4 buckets) the same-bucket
+    # probability for a true neighbor is still well above chance.
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(vecs, queries, k=3).collect()
+    approx = lsh_ann_topk(vecs, queries, k=3, n_planes=2).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.25, f"LSH recall too low: {recall}"
+
+
+def test_cosine_near_dup_pairs(spark, vecs):
+    # Append scaled copies (cosine 1.0 with originals) — must be found.
+    copies = vecs.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    df = vecs.unionByName(copies)
+    pairs = cosine_near_dup_pairs(df, threshold=0.999)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    expected = {(i, i + 10000) for i in range(5)}
+    assert expected <= got
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def test_media_features(spark):
+    media = synthetic_media_table(spark, 60)
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0 and len(r["blob_sha256"]) == 64
+    # determinism: same blob → same features
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=16).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert first == again
+
+
+def test_media_real_decoder_is_stubbed(spark):
+    media = synthetic_media_table(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_features(media, decoder="real").collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media_table(spark, 9)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    # videos have duration 5000ms → 5 planned frames each; 3 videos in 9 rows
+    assert len(rows) == 15
+    assert {r["ts_ms"] for r in rows} == {0, 1000, 2000, 3000, 4000}
