@@ -118,29 +118,34 @@ def _finish(content: str, valid: bool, constraint: str | None) -> PoolDoc:
     )
 
 
-def _valid_doc(rng: random.Random) -> dict:
+def _valid_doc(rng: random.Random, heft: int = 1) -> dict:
+    """``heft`` scales document size: 1 ≈ 150 B (unit-test speed),
+    8 ≈ 1.5 KB (realistic source-file size for benchmarks)."""
     doc: dict = {
         "name": f"item-{rng.randrange(10**6)}",
         "kind": rng.choice(_KINDS),
         "size": rng.choice([rng.randrange(10**6), round(rng.random() * 1e3, 3)]),
     }
-    if rng.random() < 0.5:
-        doc["tags"] = [f"t{rng.randrange(50)}" for _ in range(rng.randrange(0, 9))]
-    if rng.random() < 0.4:
+    if rng.random() < 0.5 or heft > 1:
+        doc["tags"] = [f"t{rng.randrange(50)}" for _ in range(rng.randrange(0, 8 * heft) % 9)]
+    if rng.random() < 0.4 or heft > 1:
         meta: dict = {"version": rng.randrange(100)}
-        if rng.random() < 0.3:
-            meta["parent"] = {"version": rng.randrange(100)}
-        if rng.random() < 0.5:
-            meta[f"x{rng.randrange(9)}"] = f"v{rng.randrange(9)}"
+        node = meta
+        for _ in range(rng.randrange(1, heft + 1)):
+            if rng.random() < 0.6:
+                node["parent"] = {"version": rng.randrange(100)}
+                node = node["parent"]
+        for j in range(rng.randrange(0, 4 * heft)):
+            meta[f"x{j}"] = f"v{rng.randrange(10**6)}-{'pad' * rng.randrange(heft)}"
         doc["meta"] = meta
     if rng.random() < 0.3:
         doc["span"] = [rng.randrange(100), rng.randrange(100)]
     return doc
 
 
-def _invalid_variants(rng: random.Random) -> list[tuple[str, str]]:
+def _invalid_variants(rng: random.Random, heft: int = 1) -> list[tuple[str, str]]:
     """(content, expected_constraint) pairs, one per constraint class."""
-    base = _valid_doc(rng)
+    base = _valid_doc(rng, heft)
     out: list[tuple[str, str]] = []
 
     d = dict(base)
@@ -184,15 +189,17 @@ def _invalid_variants(rng: random.Random) -> list[tuple[str, str]]:
     return out
 
 
-def build_pool(seed: int = 42, n_valid: int = 160, n_invalid_rounds: int = 4) -> list[PoolDoc]:
+def build_pool(
+    seed: int = 42, n_valid: int = 160, n_invalid_rounds: int = 4, heft: int = 1
+) -> list[PoolDoc]:
     """Driver-side document pool: ~78% valid, invalid docs spread across
-    every constraint class.  Deterministic in ``seed``."""
+    every constraint class.  Deterministic in ``(seed, heft)``."""
     rng = random.Random(seed)
     pool: list[PoolDoc] = []
     for _ in range(n_valid):
-        pool.append(_finish(json.dumps(_valid_doc(rng)), True, None))
+        pool.append(_finish(json.dumps(_valid_doc(rng, heft)), True, None))
     for _ in range(n_invalid_rounds):
-        for content, constraint in _invalid_variants(rng):
+        for content, constraint in _invalid_variants(rng, heft):
             pool.append(_finish(content, False, constraint))
     return pool
 
@@ -232,6 +239,8 @@ def generate_corpus(
     orphan_every: int = 17,
     drift: bool = False,
     num_partitions: int | None = None,
+    heft: int = 1,
+    unique_content: bool = False,
 ) -> DataFrame:
     """Distributed deterministic corpus: ``spark.range → mapInPandas``.
 
@@ -240,9 +249,14 @@ def generate_corpus(
     * every ``dup_every``-th row reuses the previous duplicate-anchor
       row's (repo, path, commit) key (uniqueness-check signal);
     * repos whose ordinal ``% orphan_every == 0`` are withheld from
-      :func:`dim_repos` (referential-integrity signal).
+      :func:`dim_repos` (referential-integrity signal);
+    * ``heft`` scales document size (8 ≈ 1.5 KB, realistic source files);
+    * ``unique_content=True`` splices the row index into each document's
+      ``name`` value (sha recomputed), so no two rows share bytes —
+      use for honest throughput benchmarks where content-dedup caching
+      must not help.
     """
-    pool = build_pool(seed)
+    pool = build_pool(seed, heft=heft)
     pool_rows = [
         (d.content, d.expected_valid, d.expected_constraint, d.sha256) for d in pool
     ]
@@ -270,14 +284,18 @@ def generate_corpus(
                     _LANGS[i] for i, cut in enumerate(lang_cum) if h_lang < cut
                 )
                 doc = pool_rows[_mix(idx, seed + 5) % n_pool]
+                body, sha = doc[0], doc[3]
+                if unique_content and '"name": "item-' in body:
+                    body = body.replace('"name": "item-', f'"name": "u{idx}-item-', 1)
+                    sha = hashlib.sha256(body.encode("utf-8")).hexdigest()
                 repo.append(r)
                 path.append(p)
                 commit.append(c)
                 lang.append(lg)
-                content.append(doc[0])
+                content.append(body)
                 exp_valid.append(doc[1])
                 exp_constraint.append(doc[2])
-                exp_sha.append(doc[3])
+                exp_sha.append(sha)
             yield pd.DataFrame(
                 {
                     "repo": repo,

@@ -7,6 +7,8 @@ from medea_spark.engine.partitioning import (
     repartition_for_validation,
     with_partition_columns,
 )
+from medea_spark.engine.dedup_validate import validate_table_deduped
+from medea_spark.engine.io import read_repo_files, write_partitioned, write_table
 from medea_spark.engine.session import get_spark
 from medea_spark.engine.validate import (
     RESULT_STRUCT,
@@ -24,8 +26,12 @@ __all__ = [
     "ValidationRun",
     "detect_skewed_keys",
     "get_spark",
+    "read_repo_files",
+    "write_partitioned",
+    "write_table",
     "make_validation_udf",
     "repartition_for_validation",
     "validate_table",
+    "validate_table_deduped",
     "with_partition_columns",
 ]

@@ -1,0 +1,55 @@
+"""Table I/O: Iceberg-first with parquet fallback (SURVEY.md §2.C C1/C2).
+
+Production target is an Iceberg catalog (`spark.read.format("iceberg")`
+/ `df.writeTo(...).append()` — snapshot isolation, partition pruning on
+`bucket(repo)`, schema evolution).  The sandbox has no catalog, so
+every call degrades to parquet paths transparently; call sites never
+branch.  The reference's file/handle loaders (Medea.hs:239-256,
+Loader.hs:109-121) map to these table reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _is_table_identifier(source: str) -> bool:
+    """catalog.db.table identifiers vs filesystem paths."""
+    return "/" not in source and not source.startswith(("s3:", "hdfs:", "file:"))
+
+
+def read_repo_files(spark: SparkSession, source: str) -> DataFrame:
+    """Read the repo-file table from an Iceberg identifier or a parquet
+    path.  Column pruning + predicate/partition pushdown are Catalyst's
+    job either way — express filters on the returned DataFrame."""
+    if _is_table_identifier(source):
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception:
+            return spark.read.table(source)
+    return spark.read.parquet(source)
+
+
+def write_table(df: DataFrame, target: str, mode: str = "append") -> None:
+    """Write to an Iceberg table identifier (atomic snapshot commit) or
+    a parquet path (sandbox fallback)."""
+    if _is_table_identifier(target):
+        writer = df.writeTo(target)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    df.write.mode(mode).parquet(target)
+
+
+def write_partitioned(
+    df: DataFrame, target: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Clustered write: one directory/Iceberg partition per value —
+    pairs with engine.partitioning so checkpoint waves and downstream
+    repo-local reads prune to exactly their partitions."""
+    if _is_table_identifier(target):
+        df.writeTo(target).partitionedBy(*partition_cols).createOrReplace()
+        return
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(target)

@@ -49,43 +49,53 @@ RESULT_STRUCT = T.StructType(
 )
 
 
-def make_validation_udf(graph: SchemaGraph, collect_all: bool = False):
+def make_validation_udf(
+    graph: SchemaGraph, collect_all: bool = False, memoize: bool = True
+):
     """Build the Arrow-vectorized validation kernel UDF.
 
     The compiled graph is small (≪1 MB); closing over it ships it once
     per task via the pickled UDF — the per-executor cost a broadcast
     would have, without the extra plumbing.
+
+    ``memoize`` enables per-batch verdict caching keyed by content
+    bytes: validation is a pure function of content, and real repo-file
+    corpora are duplicate-heavy (vendored licenses, lockfiles, generated
+    code), so identical documents inside an Arrow batch validate once.
+    Zero-copy dict lookup; negligible cost when all contents are unique.
     """
+
+    _none_result = (
+        False,
+        [{"json_pointer": "", "failed_constraint": NOT_JSON, "schema_name": ""}],
+    )
 
     def _validate_batch(batch: pd.Series) -> pd.DataFrame:
         valids: list[bool] = []
         violations: list[list[dict]] = []
         vd = validate_document
+        cache: dict = {}
+        get = cache.get
         for content in batch.tolist():
             if content is None:
-                valids.append(False)
-                violations.append(
-                    [
-                        {
-                            "json_pointer": "",
-                            "failed_constraint": NOT_JSON,
-                            "schema_name": "",
-                        }
-                    ]
-                )
+                valids.append(_none_result[0])
+                violations.append(_none_result[1])
                 continue
+            if memoize:
+                hit = get(content)
+                if hit is not None:
+                    valids.append(hit[0])
+                    violations.append(hit[1])
+                    continue
             ok, viols = vd(graph, content, collect_all)
+            out = [
+                {"json_pointer": p, "failed_constraint": c, "schema_name": s}
+                for p, c, s in viols
+            ]
+            if memoize:
+                cache[content] = (ok, out)
             valids.append(ok)
-            violations.append(
-                [
-                    {
-                        "json_pointer": p,
-                        "failed_constraint": c,
-                        "schema_name": s,
-                    }
-                    for p, c, s in viols
-                ]
-            )
+            violations.append(out)
         return pd.DataFrame({"is_valid": valids, "violations": violations})
 
     return F.pandas_udf(_validate_batch, RESULT_STRUCT)

@@ -5,6 +5,7 @@ UDF; keeping it Spark-free makes it embarrassingly parallel and
 testable in isolation (SURVEY.md §7 step 2).
 """
 
+from medea_spark.kernel.annotate import annotate_value
 from medea_spark.kernel.validator import (
     ADDITIONAL_PROP_FOUND_BUT_BANNED,
     IMPLEMENTATION_ERROR,
@@ -19,6 +20,7 @@ from medea_spark.kernel.validator import (
 )
 
 __all__ = [
+    "annotate_value",
     "ADDITIONAL_PROP_FOUND_BUT_BANNED",
     "IMPLEMENTATION_ERROR",
     "MAX_DEPTH_EXCEEDED",

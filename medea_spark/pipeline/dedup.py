@@ -82,8 +82,12 @@ def ngram_jaccard_pairs(
     are dropped before the self-join (stopword-like shingles explode
     quadratically and carry no dedup signal — standard posting-list
     capping).
+
+    The shingle relation feeds three plan branches (doc sizes, posting
+    filter, self-join); persisting it avoids re-running the explode per
+    branch — at scale you would materialize it to a table instead.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     posting_ok = (
         sh.groupBy("shingle")

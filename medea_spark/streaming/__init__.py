@@ -1,0 +1,19 @@
+"""Structured Streaming validation surface."""
+
+from medea_spark.streaming.validate_stream import (
+    REPO_STATE_OUTPUT,
+    REPO_STATE_SCHEMA,
+    file_stream_source,
+    repo_violation_state,
+    validate_stream,
+    windowed_violation_counts,
+)
+
+__all__ = [
+    "REPO_STATE_OUTPUT",
+    "REPO_STATE_SCHEMA",
+    "file_stream_source",
+    "repo_violation_state",
+    "validate_stream",
+    "windowed_violation_counts",
+]

@@ -132,3 +132,17 @@ def test_corpus_has_duplicate_keys(spark):
         .count()
     )
     assert dups > 0
+
+
+def test_deduped_matches_default(spark):
+    from medea_spark.engine.dedup_validate import validate_table_deduped
+
+    df = generate_corpus(spark, 900, seed=11)
+    graph = corpus_schema_graph()
+    a = validate_table(df, graph, num_partitions=8).validated.select(
+        "repo", "path", "commit", "is_valid", "n_violations"
+    )
+    b = validate_table_deduped(df, graph, num_partitions=8).validated.select(
+        "repo", "path", "commit", "is_valid", "n_violations"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
