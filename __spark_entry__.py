@@ -248,6 +248,135 @@ def q_corpus_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.summary.orderBy("part_id")
 
 
+# ---------------------------------------------------------------------------
+# Deeper differential coverage: a schema with a string enum, a 2-tuple,
+# and a closed object, over JSON constructed identically from lineitem
+# columns in both engines (B6/B7/B9/B11 through the kernel UDF).
+# ---------------------------------------------------------------------------
+
+NESTED_SCHEMA_TEXT = (
+    "$schema $start\n"
+    "    $type\n"
+    "        $object\n"
+    "    $properties\n"
+    '        $property-name "qty"\n'
+    "        $property-schema $number\n"
+    '        $property-name "flag"\n'
+    "        $property-schema flag\n"
+    '        $property-name "pair"\n'
+    "        $property-schema pair\n"
+    "\n"
+    "$schema flag\n"
+    "    $type\n"
+    "        $string\n"
+    "    $string-values\n"
+    '        "A"\n'
+    '        "N"\n'
+    '        "R"\n'
+    "\n"
+    "$schema pair\n"
+    "    $type\n"
+    "        $array\n"
+    "    $tuple\n"
+    "        $number\n"
+    "        $number\n"
+)
+
+_NESTED_GRAPH = None
+
+
+def _nested_graph():
+    global _NESTED_GRAPH
+    if _NESTED_GRAPH is None:
+        _NESTED_GRAPH = compile_schema_text(NESTED_SCHEMA_TEXT)
+    return _NESTED_GRAPH
+
+
+def _lineitem_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("string")
+    flag = F.col("l_returnflag")
+    a = F.col("l_linenumber").cast("string")
+    b = F.col("l_partkey").cast("string")
+    m = F.col("l_orderkey") % 7
+    content = (
+        F.when(m == 0, F.concat(F.lit('{"qty": '), qty, F.lit(', "flag": "'), flag, F.lit('", "pair": ['), a, F.lit(", "), b))
+        .when(m == 1, F.concat(F.lit('{"qty": '), qty, F.lit(', "flag": "Z", "pair": ['), a, F.lit(", "), b, F.lit("]}")))
+        .when(m == 2, F.concat(F.lit('{"qty": '), qty, F.lit(', "flag": "'), flag, F.lit('", "pair": ['), a, F.lit(", "), b, F.lit(", 0]}")))
+        .when(m == 3, F.concat(F.lit('{"qty": "'), qty, F.lit('", "flag": "'), flag, F.lit('", "pair": ['), a, F.lit(", "), b, F.lit("]}")))
+        .when(m == 4, F.concat(F.lit('{"qty": '), qty, F.lit(', "flag": "'), flag, F.lit('", "pair": ['), a, F.lit(", "), b, F.lit('], "x": 1}')))
+        .when(m == 5, F.concat(F.lit('{"flag": "'), flag, F.lit('", "pair": ['), a, F.lit(", "), b, F.lit("]}")))
+        .otherwise(F.concat(F.lit('{"qty": '), qty, F.lit(', "flag": "'), flag, F.lit('", "pair": ['), a, F.lit(", "), b, F.lit("]}")))
+    )
+    return li.select(
+        "l_orderkey", F.col("l_linenumber").alias("lineno"), content.alias("content")
+    )
+
+
+_ORACLE_NESTED_CTE = """
+with built as (
+    select l_orderkey, l_linenumber as lineno,
+           case l_orderkey % 7
+             when 0 then '{"qty": ' || cast(l_quantity as varchar) || ', "flag": "' || l_returnflag || '", "pair": [' || cast(l_linenumber as varchar) || ', ' || cast(l_partkey as varchar)
+             when 1 then '{"qty": ' || cast(l_quantity as varchar) || ', "flag": "Z", "pair": [' || cast(l_linenumber as varchar) || ', ' || cast(l_partkey as varchar) || ']}'
+             when 2 then '{"qty": ' || cast(l_quantity as varchar) || ', "flag": "' || l_returnflag || '", "pair": [' || cast(l_linenumber as varchar) || ', ' || cast(l_partkey as varchar) || ', 0]}'
+             when 3 then '{"qty": "' || cast(l_quantity as varchar) || '", "flag": "' || l_returnflag || '", "pair": [' || cast(l_linenumber as varchar) || ', ' || cast(l_partkey as varchar) || ']}'
+             when 4 then '{"qty": ' || cast(l_quantity as varchar) || ', "flag": "' || l_returnflag || '", "pair": [' || cast(l_linenumber as varchar) || ', ' || cast(l_partkey as varchar) || '], "x": 1}'
+             when 5 then '{"flag": "' || l_returnflag || '", "pair": [' || cast(l_linenumber as varchar) || ', ' || cast(l_partkey as varchar) || ']}'
+             else '{"qty": ' || cast(l_quantity as varchar) || ', "flag": "' || l_returnflag || '", "pair": [' || cast(l_linenumber as varchar) || ', ' || cast(l_partkey as varchar) || ']}'
+           end as content
+    from lineitem
+), judged as (
+    select l_orderkey, lineno, content,
+        case
+          when content is null or not json_valid(content) then 'NOT_JSON'
+          when json_type(content) <> 'OBJECT' then 'NOT_ONE_OF_OPTIONS'
+          when len(list_filter(json_keys(content), k -> k not in ('qty','flag','pair'))) > 0
+               then 'ADDITIONAL_PROP_FOUND_BUT_BANNED'
+          when json_type(content, '$.qty') is null
+            or json_type(content, '$.flag') is null
+            or json_type(content, '$.pair') is null
+               then 'REQUIRED_PROPERTY_IS_MISSING'
+          when json_type(content, '$.qty') not in ('BIGINT', 'UBIGINT', 'DOUBLE')
+               then 'NOT_ONE_OF_OPTIONS'
+          when json_type(content, '$.flag') <> 'VARCHAR'
+            or json_extract_string(content, '$.flag') not in ('A', 'N', 'R')
+               then 'NOT_ONE_OF_OPTIONS'
+          when json_type(content, '$.pair') <> 'ARRAY' then 'NOT_ONE_OF_OPTIONS'
+          when json_array_length(content, '$.pair') <> 2 then 'OUT_OF_BOUNDS_ARRAY_LENGTH'
+          when json_type(content, '$.pair[0]') not in ('BIGINT', 'UBIGINT', 'DOUBLE')
+            or json_type(content, '$.pair[1]') not in ('BIGINT', 'UBIGINT', 'DOUBLE')
+               then 'NOT_ONE_OF_OPTIONS'
+          else null
+        end as failed_constraint
+    from built
+)
+"""
+
+
+def q_medea_nested_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row verdicts for the enum+tuple schema over constructed JSON."""
+    df = _lineitem_json(spark, sf_dir)
+    udf = make_validation_udf(_nested_graph())
+    return df.select(
+        "l_orderkey", "lineno", udf(F.col("content"))["is_valid"].alias("is_valid")
+    )
+
+
+def q_medea_nested_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-violation census for the enum+tuple schema."""
+    df = _lineitem_json(spark, sf_dir)
+    udf = make_validation_udf(_nested_graph())
+    v = df.withColumn("_vr", udf(F.col("content")))
+    return (
+        v.filter(~F.col("_vr.is_valid"))
+        .select(F.col("_vr.violations")[0]["failed_constraint"].alias("failed_constraint"))
+        .groupBy("failed_constraint")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("failed_constraint")
+    )
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus exact copies of every 10th doc (ids +100000) —
     the deterministic duplicate-injection shared with the oracle SQL."""
@@ -349,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
+        "medea_nested_rows": q_medea_nested_rows,
+        "medea_nested_classes": q_medea_nested_classes,
         "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -457,6 +588,14 @@ def oracle_sql() -> dict[str, str]:
              b_only as (select doc_id, 'b_only' as side from (select * from b except all select * from a))
         select * from a_only union all select * from b_only
         order by side, doc_id
+        """,
+        "medea_nested_rows": _ORACLE_NESTED_CTE
+        + "select l_orderkey, lineno, (failed_constraint is null) as is_valid from judged",
+        "medea_nested_classes": _ORACLE_NESTED_CTE
+        + """
+        select failed_constraint, count(*) as cnt from judged
+        where failed_constraint is not null
+        group by failed_constraint order by failed_constraint
         """,
         "text_profile": r"""
         with words as (

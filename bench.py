@@ -49,7 +49,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM + Python worker pool (not timed).
+    # Warm up the JVM + the full Python worker pool (not timed): a
+    # trivial pandas UDF across every core spawns the Arrow workers so
+    # the first real query isn't charged pandas/pyarrow import storms.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    _warm = F.pandas_udf(lambda s: s, T.LongType())
+    spark.range(cpus * 4 * 1000, numPartitions=cpus * 4).select(
+        F.sum(_warm(F.col("id")))
+    ).collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     def run_noop(df) -> None:

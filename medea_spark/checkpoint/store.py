@@ -103,6 +103,7 @@ def run_validation_with_checkpoints(
     n_waves: int = 4,
     skewed_keys: list[str] | None = None,
     input_fingerprint: str = "",
+    output_location: str | None = None,
 ) -> ResumableResult:
     """Validate ``df`` wave-by-wave, committing results + checkpoint rows
     per wave; re-invoking with the same ``run_id`` skips checkpointed
@@ -138,7 +139,7 @@ def run_validation_with_checkpoints(
             skewed_keys=skewed_keys,
             repartition=True,
         )
-        out = f"{store.location}/run={run_id}/wave={wave}"
+        out = f"{(output_location or store.location).rstrip('/')}/run={run_id}/wave={wave}"
         result.validated.drop("violations").write.mode("overwrite").parquet(
             f"{out}/validated"
         )
