@@ -32,6 +32,7 @@ from medea_spark.corpus import corpus_schema_graph, generate_corpus
 from medea_spark.engine import detect_skewed_keys, make_validation_udf, validate_table
 from medea_spark.pipeline import (
     brute_force_topk,
+    cosine_near_dup_pairs,
     exact_duplicate_groups,
     extract_features,
     lsh_ann_topk,
@@ -451,6 +452,40 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(vecs, queries, k=3, n_planes=4).orderBy("query_id", "rank")
 
 
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: scaled copies of the first
+    5 vectors are injected (cosine 1.0 with their originals); pairs with
+    sim >= 0.999 are reported.  Brute-force within the subset so the
+    DuckDB oracle reproduces it exactly; the LSH-bucketed variant is
+    exercised in tests (same pairs, bounded join)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    )
+    copies = vecs.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    df = vecs.unionByName(copies)
+    from medea_spark.pipeline.similarity import cosine
+
+    a = df.alias("a")
+    b = df.alias("b")
+    va = F.col("a.embedding").cast("array<double>")
+    vb = F.col("b.embedding").cast("array<double>")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(va, vb), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.999)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blobs → deterministic features
     (rows-only: media table is engine-synthesized; decode is stubbed)."""
@@ -488,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
+        "embed_near_dups": q_embed_near_dups,
     }
 
 
@@ -684,6 +720,27 @@ def oracle_sql() -> dict[str, str]:
         join sizes sb on sb.doc_id = doc_b
         where cast(i as double) / (sa.n_sh + sb.n_sh - i) >= 0.5
         order by doc_a, doc_b
+        """,
+        "embed_near_dups": """
+        with base as (
+            select vec_id, embedding::DOUBLE[] as v
+            from embeddings where vec_id < 150
+        ), copies as (
+            select vec_id + 10000 as vec_id,
+                   list_transform(embedding::DOUBLE[], x -> x * 2.0) as v
+            from embeddings where vec_id < 5
+        ), allv as (
+            select * from base union all select * from copies
+        ), pairs as (
+            select a.vec_id as vec_a, b.vec_id as vec_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) as sim
+            from allv a cross join allv b
+            where a.vec_id < b.vec_id
+        )
+        select vec_a, vec_b, sim from pairs where sim >= 0.999
+        order by vec_a, vec_b
         """,
         "ann_cosine_topk": """
         with q as (

@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -120,6 +120,7 @@ def validate_table(
     collect_all: bool = False,
     with_sha256: bool = True,
     repartition: bool = False,
+    observe: "Observation | None" = None,
 ) -> ValidationRun:
     """Validate every row's ``content_col`` against the compiled graph.
 
@@ -161,6 +162,16 @@ def validate_table(
         # input_hint): sha256 of the exact content bytes, computed JVM-side.
         validated = validated.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
     validated = validated.withColumn("n_violations", F.size("violations"))
+    if observe is not None:
+        # Lineage/metrics hook (C15): after any action on `validated`,
+        # observe.get returns {rows, valid_rows, violation_count} free of
+        # extra passes — the numbers recorded with checkpoint commits.
+        validated = validated.observe(
+            observe,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("is_valid").cast("long")).alias("valid_rows"),
+            F.sum("n_violations").alias("violation_count"),
+        )
 
     violations = (
         validated.filter(~F.col("is_valid"))

@@ -146,3 +146,16 @@ def test_deduped_matches_default(spark):
         "repo", "path", "commit", "is_valid", "n_violations"
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_observe_metrics(spark):
+    from pyspark.sql import Observation
+
+    df = generate_corpus(spark, 600, seed=5)
+    obs = Observation("medea_metrics")
+    run = validate_table(df, corpus_schema_graph(), num_partitions=4, observe=obs)
+    run.validated.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["rows"] == 600
+    assert m["rows"] == m["valid_rows"] + (600 - m["valid_rows"])
+    assert m["violation_count"] > 0
