@@ -16,7 +16,10 @@ Semantics preserved (SURVEY.md §2.B fine print):
    only when the value is reached *through a named schema* — the
    ``parent`` is set exclusively by entering a CustomNode
    (Medea.hs:395-407); children always recurse with ``parent=None``
-   (Medea.hs:353-359, 368-370).
+   (Medea.hs:353-359, 368-370).  Consequence exploited for speed: a
+   child paired with a *primitive* node needs exactly a type-equality
+   check (its own children pair with AnyNode — Medea.hs:329-336), and a
+   child paired with a *custom* node enters that schema directly.
 2. AnyNode accepts the whole subtree unexamined (Medea.hs:302-307).
 3. First-error-wins, depth-first: a failing document reports the error
    of the first applicable alternative (primitive branch, then custom
@@ -26,8 +29,10 @@ Semantics preserved (SURVEY.md §2.B fine print):
    missing-required, then recurse into values (Medea.hs:372-391).
 
 Violations are ``(json_pointer, failed_constraint, schema_name)``
-triples; pointers are RFC 6901.  Constraint codes mirror the
-ValidationError constructors (Medea.hs:173-210).
+triples; RFC 6901 pointers are assembled lazily on the unwind of the
+(rare) error path, so the happy path allocates nothing per node.
+Constraint codes mirror the ValidationError constructors
+(Medea.hs:173-210).
 """
 
 from __future__ import annotations
@@ -88,32 +93,37 @@ def _escape_pointer_token(token: str) -> str:
     return token
 
 
+def _prefixed(sub: list[Violation], token: str) -> list[Violation]:
+    """Prepend one pointer segment while unwinding an error path."""
+    seg = f"/{token}"
+    return [(seg + p, c, s) for p, c, s in sub]
+
+
 def _check_types(
     graph: SchemaGraph,
     v: Any,
     nodes: tuple[Node, ...],
     parent: str | None,
-    ptr: str,
     depth: int,
     short_circuit: bool,
     owner: str = "",
 ) -> list[Violation]:
-    """Returns [] on success, else the violation list of the failing
-    alternative (first error only when ``short_circuit``).
+    """Returns [] on success; violations carry pointers relative to this
+    node (first error only when ``short_circuit``).
 
     ``owner`` is reporting-only: the schema that *declared* the
     constraint being checked (the reference's NotOneOfOptions carries no
     schema name; our violation rows attribute the specifying schema).
     """
     if depth > _MAX_DEPTH:
-        return [(ptr, MAX_DEPTH_EXCEEDED, parent or owner)]
+        return [("", MAX_DEPTH_EXCEEDED, parent or owner)]
     # checkAny (Medea.hs:302-307): AnyNode sorts first.
     if nodes[0] == ANY_NODE:
         return []
     tn = _type_of(v)
     prim_errs: list[Violation] | None = None
     if (1, tn, "") in nodes:
-        prim_errs = _check_prim(graph, v, tn, parent, ptr, depth, short_circuit)
+        prim_errs = _check_prim(graph, v, tn, parent, depth, short_circuit)
         if not prim_errs:
             return []
     # checkCustoms (Medea.hs:395-407): customs in sorted name order.
@@ -123,9 +133,9 @@ def _check_types(
             continue
         scm = graph.get(node[2])
         if scm is None:  # unreachable post-analysis (Medea.hs:409-415)
-            return [(ptr, IMPLEMENTATION_ERROR, node[2])]
+            return [("", IMPLEMENTATION_ERROR, node[2])]
         sub = _check_types(
-            graph, v, scm.types_as, node[2], ptr, depth + 1, short_circuit, node[2]
+            graph, v, scm.types_as, node[2], depth + 1, short_circuit, node[2]
         )
         if not sub:
             return []
@@ -139,7 +149,7 @@ def _check_types(
         return prim_errs
     if first_custom_errs is not None:
         return first_custom_errs
-    return [(ptr, NOT_ONE_OF_OPTIONS, parent or owner)]
+    return [("", NOT_ONE_OF_OPTIONS, parent or owner)]
 
 
 def _check_prim(
@@ -147,7 +157,6 @@ def _check_prim(
     v: Any,
     tn: int,
     parent: str | None,
-    ptr: str,
     depth: int,
     short_circuit: bool,
 ) -> list[Violation]:
@@ -159,22 +168,47 @@ def _check_prim(
         if parent is not None:
             scm = graph[parent]
             if scm.string_val_set and v not in scm.string_val_set:
-                return [(ptr, NOT_ONE_OF_OPTIONS, parent)]
+                return [("", NOT_ONE_OF_OPTIONS, parent)]
         return []
     if parent is None:
         # Bare $array / $object: children validate against AnyNode
         # (Medea.hs:329-336) — trivially valid, skip the walk.
         return []
     if tn == JSON_ARRAY:
-        return _check_array(graph, v, parent, ptr, depth, short_circuit)
-    return _check_object(graph, v, parent, ptr, depth, short_circuit)
+        return _check_array(graph, v, parent, depth, short_circuit)
+    return _check_object(graph, v, parent, depth, short_circuit)
+
+
+def _check_child(
+    graph: SchemaGraph,
+    val: Any,
+    node: Node,
+    attribution: str,
+    depth: int,
+    short_circuit: bool,
+) -> list[Violation]:
+    """Child value against a single node with no parent context
+    (Medea.hs:353-359, 368-370): AnyNode accepts; a primitive node is a
+    bare type check (the child's own children pair with AnyNode); a
+    custom node enters that schema."""
+    kind = node[0]
+    if kind == 0:
+        return []
+    if kind == 1:
+        if _type_of(val) == node[1]:
+            return []
+        return [("", NOT_ONE_OF_OPTIONS, attribution)]
+    name = node[2]
+    scm = graph.get(name)
+    if scm is None:
+        return [("", IMPLEMENTATION_ERROR, name)]
+    return _check_types(graph, val, scm.types_as, name, depth + 1, short_circuit, name)
 
 
 def _check_array(
     graph: SchemaGraph,
     arr: list,
     parent: str,
-    ptr: str,
     depth: int,
     short_circuit: bool,
 ) -> list[Violation]:
@@ -184,7 +218,7 @@ def _check_array(
     lo = scm.min_array_len
     hi = scm.max_array_len
     if (lo is not None and n < lo) or (hi is not None and n > hi):
-        return [(ptr, OUT_OF_BOUNDS_ARRAY_LENGTH, parent)]
+        return [("", OUT_OF_BOUNDS_ARRAY_LENGTH, parent)]
     kind = scm.array_kind
     if kind is None:
         return []  # elements pair with AnyNode — trivially valid
@@ -193,22 +227,25 @@ def _check_array(
         node = scm.list_node
         if node == ANY_NODE:
             return []
-        nodes = (node,)
+        if node[0] == 1:  # homogeneous primitive list: flat type scan
+            want = node[1]
+            for i, item in enumerate(arr):
+                if _type_of(item) != want:
+                    errs.append((f"/{i}", NOT_ONE_OF_OPTIONS, parent))
+                    if short_circuit:
+                        return errs
+            return errs
         for i, item in enumerate(arr):
-            sub = _check_types(
-                graph, item, nodes, None, f"{ptr}/{i}", depth + 1, short_circuit, parent
-            )
+            sub = _check_child(graph, item, node, parent, depth, short_circuit)
             if sub:
-                errs.extend(sub)
+                errs.extend(_prefixed(sub, str(i)))
                 if short_circuit:
                     return errs
     else:  # tuple — bounds already enforce the exact length
         for i, (item, node) in enumerate(zip(arr, scm.tuple_nodes)):
-            sub = _check_types(
-                graph, item, (node,), None, f"{ptr}/{i}", depth + 1, short_circuit, parent
-            )
+            sub = _check_child(graph, item, node, parent, depth, short_circuit)
             if sub:
-                errs.extend(sub)
+                errs.extend(_prefixed(sub, str(i)))
                 if short_circuit:
                     return errs
     return errs
@@ -218,7 +255,6 @@ def _check_object(
     graph: SchemaGraph,
     obj: dict,
     parent: str,
-    ptr: str,
     depth: int,
     short_circuit: bool,
 ) -> list[Violation]:
@@ -227,46 +263,41 @@ def _check_object(
     scm = graph[parent]
     props = scm.props
     errs: list[Violation] = []
-    pairing: list[tuple[str, Any, Node]] = []
+    pairing: list[tuple[str, Any, Node]] | None = None
     additional_node = scm.additional_prop_schema
     allow_additional = scm.additional_props
     for key, val in obj.items():
         hit = props.get(key)
         if hit is not None:
-            pairing.append((key, val, hit[0]))
+            node = hit[0]
         elif allow_additional:
-            pairing.append((key, val, additional_node))
+            node = additional_node
         else:
             errs.append(
-                (f"{ptr}/{_escape_pointer_token(key)}", ADDITIONAL_PROP_FOUND_BUT_BANNED, parent)
+                (f"/{_escape_pointer_token(key)}", ADDITIONAL_PROP_FOUND_BUT_BANNED, parent)
             )
             if short_circuit:
                 return errs
+            continue
+        if node[0] != 0:  # AnyNode children need no check at all
+            if pairing is None:
+                pairing = []
+            pairing.append((key, val, node))
     for key in scm.prop_order:
         node, optional = props[key]
         if not optional and key not in obj:
             errs.append(
-                (f"{ptr}/{_escape_pointer_token(key)}", REQUIRED_PROPERTY_IS_MISSING, parent)
+                (f"/{_escape_pointer_token(key)}", REQUIRED_PROPERTY_IS_MISSING, parent)
             )
             if short_circuit:
                 return errs
-    for key, val, node in pairing:
-        if node == ANY_NODE:
-            continue
-        sub = _check_types(
-            graph,
-            val,
-            (node,),
-            None,
-            f"{ptr}/{_escape_pointer_token(key)}",
-            depth + 1,
-            short_circuit,
-            parent,
-        )
-        if sub:
-            errs.extend(sub)
-            if short_circuit:
-                return errs
+    if pairing:
+        for key, val, node in pairing:
+            sub = _check_child(graph, val, node, parent, depth, short_circuit)
+            if sub:
+                errs.extend(_prefixed(sub, _escape_pointer_token(key)))
+                if short_circuit:
+                    return errs
     return errs
 
 
@@ -279,7 +310,7 @@ def validate_value(
     (reference: Medea.hs:230-232).
     """
     try:
-        return _check_types(graph, value, _START_NODES, None, "", 0, not collect_all)
+        return _check_types(graph, value, _START_NODES, None, 0, not collect_all)
     except RecursionError:
         return [("", MAX_DEPTH_EXCEEDED, "")]
 
