@@ -494,6 +494,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "blob_sha256").orderBy("media_id")
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k (rows-only:
+    centroids come from MLlib KMeans; recall vs the exact baseline is
+    asserted in tests/test_pipeline.py)."""
+    from medea_spark.pipeline import build_ivf_index, ivf_ann_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    index = build_ivf_index(vecs, nlist=8, seed=42)
+    return ivf_ann_topk(index, queries, k=3, n_probe=3).orderBy("query_id", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship at sf0.001: kernel validation over the JSON column with
     the violation census."""
@@ -524,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
         "embed_near_dups": q_embed_near_dups,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 

@@ -10,6 +10,7 @@ from medea_spark.pipeline.dedup import (
     simhash,
     simhash_duplicate_groups,
 )
+from medea_spark.pipeline.ivf import IvfIndex, build_ivf_index, ivf_ann_topk
 from medea_spark.pipeline.multimodal import (
     FEATURE_SCHEMA,
     MEDIA_TABLE_SCHEMA,
@@ -43,7 +44,10 @@ __all__ = [
     "cosine_near_dup_pairs",
     "exact_duplicate_groups",
     "extract_features",
+    "IvfIndex",
+    "build_ivf_index",
     "fingerprint",
+    "ivf_ann_topk",
     "frame_sample_plan",
     "lang_id",
     "lsh_ann_topk",

@@ -217,3 +217,32 @@ def test_frame_sample_plan(spark):
     # videos have duration 5000ms → 5 planned frames each; 3 videos in 9 rows
     assert len(rows) == 15
     assert {r["ts_ms"] for r in rows} == {0, 1000, 2000, 3000, 4000}
+
+
+def test_ivf_ann_recall(vecs):
+    from medea_spark.pipeline import build_ivf_index, ivf_ann_topk
+
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(vecs, queries, k=3).collect()
+    index = build_ivf_index(vecs, nlist=8, seed=42)
+    approx = ivf_ann_topk(index, queries, k=3, n_probe=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 3 of 8 density-adapted cells probed: recall should beat random-plane LSH
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # approximate sims must be a subset of genuine cosines (exact re-rank)
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(exact_sims[key] - r["sim"]) < 1e-9
+
+
+def test_ivf_deterministic(vecs):
+    from medea_spark.pipeline import build_ivf_index, ivf_ann_topk
+
+    queries = vecs.filter(F.col("vec_id") < 5)
+    a = ivf_ann_topk(build_ivf_index(vecs, nlist=8, seed=7), queries, k=3).collect()
+    b = ivf_ann_topk(build_ivf_index(vecs, nlist=8, seed=7), queries, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
