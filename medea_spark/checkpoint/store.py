@@ -51,10 +51,37 @@ CHECKPOINT_SCHEMA = T.StructType(
 
 
 def _schema_fingerprint(graph: SchemaGraph) -> str:
+    """Deterministic across driver processes: every set-like field is
+    sorted before hashing (frozenset iteration order depends on
+    PYTHONHASHSEED, so ``repr(dataclass)`` is NOT stable between two
+    spark-submit invocations — exactly the cross-process resume case
+    this fingerprint exists for)."""
     import hashlib
 
-    blob = repr(sorted((k, repr(v)) for k, v in graph.items())).encode()
-    return hashlib.sha256(blob).hexdigest()[:16]
+    parts = []
+    for name in sorted(graph):
+        s = graph[name]
+        parts.append(
+            (
+                s.name,
+                tuple(s.types_as),
+                s.min_array_len,
+                s.max_array_len,
+                s.array_kind,
+                s.list_node,
+                s.tuple_nodes,
+                tuple(sorted((k, v) for k, v in s.props.items())),
+                s.prop_order,
+                s.additional_props,
+                s.additional_prop_schema,
+                s.string_vals,
+                s.any_in_types,
+                tuple(sorted(s.prim_types)),
+                s.custom_names,
+                tuple(sorted(s.string_val_set)),
+            )
+        )
+    return hashlib.sha256(repr(parts).encode()).hexdigest()[:16]
 
 
 class CheckpointStore:
@@ -76,13 +103,24 @@ class CheckpointStore:
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self._ckpt_path)
 
-    def done_part_ids(self, run_id: str) -> DataFrame:
-        return (
-            self.read()
-            .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
-            .select("part_id")
-            .distinct()
-        )
+    def done_part_ids(
+        self,
+        run_id: str,
+        schema_fingerprint: str | None = None,
+        input_fingerprint: str | None = None,
+    ) -> DataFrame:
+        """Partitions safe to skip on resume.  Lineage is validated, not
+        just recorded: a checkpoint row only counts as done if it was
+        committed under the *same* schema fingerprint (and input
+        fingerprint, when the caller tracks one) — otherwise a rerun
+        after a schema/input change would silently stitch together a
+        mixed-lineage output."""
+        cond = (F.col("run_id") == run_id) & (F.col("status") == "done")
+        if schema_fingerprint is not None:
+            cond = cond & (F.col("schema_fingerprint") == schema_fingerprint)
+        if input_fingerprint:
+            cond = cond & (F.col("input_fingerprint") == input_fingerprint)
+        return self.read().filter(cond).select("part_id").distinct()
 
 
 @dataclass
@@ -119,7 +157,14 @@ def run_validation_with_checkpoints(
         df, num_partitions, skewed_keys=skewed_keys
     )
 
-    done = {r.part_id for r in store.done_part_ids(run_id).collect()}
+    done = {
+        r.part_id
+        for r in store.done_part_ids(
+            run_id,
+            schema_fingerprint=fingerprint,
+            input_fingerprint=input_fingerprint or None,
+        ).collect()
+    }
     parts_skipped = len(done)
     waves_run = 0
     parts_done = 0

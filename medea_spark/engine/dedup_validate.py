@@ -47,8 +47,12 @@ def validate_table_deduped(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # NULL content must survive the equi-join (NULL != NULL would drop
+    # its verdict, diverging from validate_table's NOT_JSON): xxhash64
+    # of a null column is already non-null, and the length guard is
+    # coalesced to a sentinel no real length can take.
     keyed = df.withColumn("_ck", F.xxhash64(F.col(content_col))).withColumn(
-        "_clen", F.length(F.col(content_col))
+        "_clen", F.coalesce(F.length(F.col(content_col)), F.lit(-1))
     )
     distinct = keyed.select("_ck", "_clen", content_col).dropDuplicates(["_ck", "_clen"])
     udf = make_validation_udf(graph, memoize=False)

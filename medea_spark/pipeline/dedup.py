@@ -87,15 +87,19 @@ def ngram_jaccard_pairs(
     filter, self-join); persisting it avoids re-running the explode per
     branch — at scale you would materialize it to a table instead.
     """
-    sh = shingles(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    raw = shingles(df, id_col, text_col, n).persist()
     posting_ok = (
-        sh.groupBy("shingle")
+        raw.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
         .filter(F.col("df_") <= max_posting)
         .select("shingle")
     )
-    sh = sh.join(posting_ok, "shingle")
+    # Sizes are computed over the *post-cap* shingle universe so the
+    # Jaccard numerator and denominator agree: counting capped-out hot
+    # shingles in the denominator (but never the numerator) would
+    # systematically underestimate similarity near the threshold.
+    sh = raw.join(posting_ok, "shingle").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("x")
         .join(sh.alias("y"), "shingle")

@@ -120,8 +120,13 @@ def frame_sample_plan(
     of each planned frame is the stubbed seam above.  Keeping the plan
     relational means Catalyst can prune/filter frames before any decode
     work is scheduled."""
+    # Spark's sequence(0, -1, step) is a runtime error, not an empty
+    # array (CLAUDE.md trap) — videos with NULL/0 duration plan zero
+    # frames instead of crashing the job.
     dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
-    ts = F.sequence(F.lit(0), dur - 1, F.lit(every_ms))
+    ts = F.when(
+        dur >= 1, F.sequence(F.lit(0), dur - 1, F.lit(every_ms))
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
         df.filter(F.col("meta.kind") == "video")
         .select(F.col(id_col), F.posexplode(ts).alias("frame_idx", "ts_ms"))

@@ -86,3 +86,63 @@ def test_lineage_fields_present(spark, store):
     assert row["input_fingerprint"] == "corpus-n200-seed1"
     assert row["wall_ms"] >= 0
     assert row["committed_at"] is not None
+
+
+def test_schema_fingerprint_stable_across_processes(tmp_path):
+    """The lineage fingerprint must not depend on PYTHONHASHSEED
+    (frozenset iteration order) — cross-process resume relies on it."""
+    import os
+    import subprocess
+    import sys
+
+    from medea_spark.checkpoint.store import _schema_fingerprint
+
+    local = _schema_fingerprint(corpus_schema_graph())
+    prog = (
+        "from medea_spark.checkpoint.store import _schema_fingerprint\n"
+        "from medea_spark.corpus import corpus_schema_graph\n"
+        "print(_schema_fingerprint(corpus_schema_graph()))\n"
+    )
+    for seed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed, PYTHONPATH="/root/repo")
+        out = subprocess.run(
+            [sys.executable, "-c", prog], env=env, capture_output=True, text=True
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == local
+
+
+def test_resume_rejects_changed_schema(spark, store):
+    """Resuming a run_id after the schema graph changed must NOT skip
+    partitions checkpointed under the old schema (mixed lineage)."""
+    from medea_spark.compiler import compile_schema_text
+
+    df = generate_corpus(spark, 400, seed=3)
+    first = run_validation_with_checkpoints(
+        spark, df, corpus_schema_graph(), store, run_id="rs", num_partitions=4, n_waves=2
+    )
+    assert first.parts_done == 4
+    other_graph = compile_schema_text("$schema $start\n    $type\n        $object\n")
+    resumed = run_validation_with_checkpoints(
+        spark, df, other_graph, store, run_id="rs", num_partitions=4, n_waves=2
+    )
+    assert resumed.parts_skipped == 0 and resumed.parts_done == 4
+    # Same schema again → everything skips.
+    again = run_validation_with_checkpoints(
+        spark, df, corpus_schema_graph(), store, run_id="rs", num_partitions=4, n_waves=2
+    )
+    assert again.parts_skipped == 4 and again.parts_done == 0
+
+
+def test_resume_rejects_changed_input_fingerprint(spark, store):
+    df = generate_corpus(spark, 300, seed=9)
+    graph = corpus_schema_graph()
+    run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="ri", num_partitions=4, n_waves=1,
+        input_fingerprint="snapshot-a",
+    )
+    moved = run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="ri", num_partitions=4, n_waves=1,
+        input_fingerprint="snapshot-b",
+    )
+    assert moved.parts_skipped == 0 and moved.parts_done == 4

@@ -159,3 +159,31 @@ def test_observe_metrics(spark):
     assert m["rows"] == 600
     assert m["rows"] == m["valid_rows"] + (600 - m["valid_rows"])
     assert m["violation_count"] > 0
+
+
+def test_deduped_null_content_matches_default(spark):
+    """NULL content must be reported NOT_JSON-invalid on the deduped
+    path too — a plain equi-join on length(content) silently drops the
+    verdict because NULL != NULL (ADVICE r01)."""
+    from medea_spark.engine.dedup_validate import validate_table_deduped
+
+    df = spark.createDataFrame(
+        [("r", "p1", "c", "json", '{"name": "x", "kind": "data", "size": 1}'),
+         ("r", "p2", "c", "json", None)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    graph = corpus_schema_graph()
+    a = validate_table(df, graph, num_partitions=2).summary.agg(
+        F.sum("rows"), F.sum("valid_rows"), F.sum("invalid_rows")
+    ).collect()[0]
+    b = validate_table_deduped(df, graph, num_partitions=2).summary.agg(
+        F.sum("rows"), F.sum("valid_rows"), F.sum("invalid_rows")
+    ).collect()[0]
+    assert tuple(a) == tuple(b) == (2, 1, 1)
+    row = (
+        validate_table_deduped(df, graph, num_partitions=2)
+        .validated.filter(F.col("path") == "p2")
+        .select("is_valid", "n_violations")
+        .collect()[0]
+    )
+    assert row["is_valid"] is False and row["n_violations"] == 1

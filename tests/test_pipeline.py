@@ -246,3 +246,31 @@ def test_ivf_deterministic(vecs):
     a = ivf_ann_topk(build_ivf_index(vecs, nlist=8, seed=7), queries, k=3).collect()
     b = ivf_ann_topk(build_ivf_index(vecs, nlist=8, seed=7), queries, k=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_frame_sample_plan_null_and_zero_duration(spark):
+    """Videos with NULL/0 duration plan zero frames — Spark's
+    sequence(0, -1) is a runtime error, not an empty array (ADVICE r01)."""
+    from medea_spark.pipeline.multimodal import MEDIA_TABLE_SCHEMA
+
+    rows = [
+        (1, bytearray(b"v"), ("video", "mp4", None, None, None, None, None)),
+        (2, bytearray(b"v"), ("video", "mp4", None, None, None, 0, None)),
+        (3, bytearray(b"v"), ("video", "mp4", None, None, None, 2500, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_TABLE_SCHEMA)
+    got = frame_sample_plan(media, every_ms=1000).collect()
+    assert {(r["media_id"], r["ts_ms"]) for r in got} == {(3, 0), (3, 1000), (3, 2000)}
+
+
+def test_jaccard_sizes_use_post_cap_universe(spark):
+    """When posting-list capping drops a hot shingle, the Jaccard
+    denominator must shrink with the numerator (ADVICE r01): two docs
+    agreeing on every surviving shingle but one score 1/3, not 1/5."""
+    rows = [(1, "x y z a b"), (2, "x y z a c")]
+    rows += [(10 + i, f"x y z f{i} m{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_posting=5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got, "pair missed because denominator counted capped shingles"
+    assert abs(got[(1, 2)] - 1 / 3) < 1e-6
