@@ -133,6 +133,18 @@ def _validated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planes_cte(seed: int, n_planes: int, dim: int = 64) -> str:
+    """DuckDB CTE reproducing similarity.plane_component's md5-derived
+    hyperplanes: component (j, d) = 60-bit md5 of "seed:j:d" scaled to
+    [-1, 1).  Bit-identical to the Spark side (md5 is md5)."""
+    return f"""planes as (
+        select j, list_transform(generate_series(0, {dim - 1}), d ->
+            cast(('0x' || substr(md5('{seed}:' || j || ':' || d), 1, 15)) as bigint)
+              / 576460752303423488.0 - 1.0) as plane
+        from generate_series(0, {n_planes - 1}) t(j)
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # queries()
 # ---------------------------------------------------------------------------
@@ -445,19 +457,23 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: recall vs the exact
-    baseline is asserted in tests/test_pipeline.py)."""
+    """LSH-bucketed approximate top-k.  Planes come from the md5
+    portable hash family (similarity.plane_component), so the DuckDB
+    oracle reproduces buckets, candidates, and re-rank bit-exactly."""
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = vecs.filter(F.col("vec_id") < 5)
-    return lsh_ann_topk(vecs, queries, k=3, n_planes=4).orderBy("query_id", "rank")
+    return lsh_ann_topk(vecs, queries, k=3, n_planes=4, dim=64).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: scaled copies of the first
-    5 vectors are injected (cosine 1.0 with their originals); pairs with
-    sim >= 0.999 are reported.  Brute-force within the subset so the
-    DuckDB oracle reproduces it exactly; the LSH-bucketed variant is
-    exercised in tests (same pairs, bounded join)."""
+    """Embedding-cosine near-duplicate pairs via the LSH-bucketed
+    library path (cosine_near_dup_pairs): scaled copies of the first 5
+    vectors are injected (cosine 1.0 with their originals, hence
+    bucket-identical by construction); pairs with sim >= 0.999 are
+    reported.  The bucket join bounds the pair search — no cartesian —
+    and the DuckDB oracle rebuilds the same md5-derived buckets."""
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 150
     )
@@ -467,23 +483,9 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     df = vecs.unionByName(copies)
-    from medea_spark.pipeline.similarity import cosine
-
-    a = df.alias("a")
-    b = df.alias("b")
-    va = F.col("a.embedding").cast("array<double>")
-    vb = F.col("b.embedding").cast("array<double>")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(va, vb), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.999)
-        .orderBy("vec_a", "vec_b")
-    )
+    return cosine_near_dup_pairs(
+        df, threshold=0.999, n_planes=8, dim=64
+    ).orderBy("vec_a", "vec_b")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,26 +736,54 @@ def oracle_sql() -> dict[str, str]:
         where cast(i as double) / (sa.n_sh + sb.n_sh - i) >= 0.5
         order by doc_a, doc_b
         """,
-        "embed_near_dups": """
-        with base as (
+        "embed_near_dups": f"""
+        with {_planes_cte(seed=42, n_planes=8)}, allv as (
             select vec_id, embedding::DOUBLE[] as v
             from embeddings where vec_id < 150
-        ), copies as (
+            union all
             select vec_id + 10000 as vec_id,
                    list_transform(embedding::DOUBLE[], x -> x * 2.0) as v
             from embeddings where vec_id < 5
-        ), allv as (
-            select * from base union all select * from copies
+        ), sig as (
+            select vec_id, v,
+                   sum(case when list_dot_product(v, plane) > 0
+                            then (cast(1 as bigint) << j) else 0 end) as bucket
+            from allv cross join planes
+            group by vec_id, v
         ), pairs as (
             select a.vec_id as vec_a, b.vec_id as vec_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                          6) as sim
-            from allv a cross join allv b
+            from sig a join sig b using (bucket)
             where a.vec_id < b.vec_id
         )
         select vec_a, vec_b, sim from pairs where sim >= 0.999
         order by vec_a, vec_b
+        """,
+        "lsh_ann_topk": f"""
+        with {_planes_cte(seed=42, n_planes=4)}, sig as (
+            select vec_id, embedding::DOUBLE[] as v,
+                   sum(case when list_dot_product(embedding::DOUBLE[], plane) > 0
+                            then (cast(1 as bigint) << j) else 0 end) as bucket
+            from embeddings cross join planes
+            group by vec_id, embedding
+        ), q as (
+            select vec_id as query_id, v as qv, bucket from sig where vec_id < 5
+        ), scored as (
+            select q.query_id, s.vec_id as neighbor_id,
+                   round(list_dot_product(qv, s.v)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(s.v, s.v))),
+                         6) as sim
+            from q join sig s using (bucket)
+            where s.vec_id <> q.query_id
+        ), ranked as (
+            select *, row_number() over (partition by query_id
+                                         order by sim desc, neighbor_id asc) as rank
+            from scored
+        )
+        select query_id, neighbor_id, rank, sim from ranked
+        where rank <= 3 order by query_id, rank
         """,
         "ann_cosine_topk": """
         with q as (
@@ -776,6 +806,6 @@ def oracle_sql() -> dict[str, str]:
         select query_id, neighbor_id, rank, sim from ranked
         where rank <= 3 order by query_id, rank
         """,
-        # corpus_validation, simhash_groups, lsh_ann_topk, media_features:
+        # corpus_validation, simhash_groups, media_features:
         # engine-generated or Python-hash-based inputs → rows-only checks.
     }

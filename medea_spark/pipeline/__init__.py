@@ -23,7 +23,9 @@ from medea_spark.pipeline.similarity import (
     cosine,
     cosine_near_dup_pairs,
     lsh_ann_topk,
+    lsh_bucket,
     lsh_signatures,
+    plane_component,
 )
 from medea_spark.pipeline.textstats import (
     fingerprint,
@@ -51,7 +53,9 @@ __all__ = [
     "frame_sample_plan",
     "lang_id",
     "lsh_ann_topk",
+    "lsh_bucket",
     "lsh_signatures",
+    "plane_component",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "ngram_jaccard_pairs",

@@ -4,22 +4,20 @@
   (small) query set, one pass over the corpus, per-row dot products via
   built-in higher-order functions (zip_with + aggregate — JVM-side, no
   Python), TakeOrdered per query.
-* LSH-bucketed ANN — the scale path: random-hyperplane signatures
-  (deterministic planes derived from a seed), candidates = same bucket,
-  exact cosine re-rank inside the bucket.  At 100 TB the bucket join
-  replaces the full cross product; recall is tested against the
-  brute-force baseline in tests/test_pipeline.py.
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures with
+  planes derived from the md5 hash family (plane_component), so buckets
+  are engine-portable and the DuckDB oracle reproduces them bit-exactly;
+  candidates = same bucket, exact cosine re-rank inside the bucket.  At
+  100 TB the bucket join replaces the full cross product; recall is
+  tested against the brute-force baseline in tests/test_pipeline.py.
 * cosine near-duplicate pairs — embedding dedup: LSH buckets + exact
   threshold check.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -81,9 +79,38 @@ def brute_force_topk(
     )
 
 
-def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+def plane_component(seed: int, j: int, d: int) -> float:
+    """Component ``d`` of hyperplane ``j``: md5-derived uniform in
+    [-1, 1).  The same 60-bit md5 hash family as MinHash
+    (dedup._md5_hash64), so any SQL engine reproduces the planes —
+    DuckDB: ``cast(('0x'||substr(md5(seed||':'||j||':'||d),1,15)) as
+    bigint) / 2^59 - 1``.  Cube-uniform components are a standard
+    sign-random-projection family (direction uniformity of Gaussian
+    planes is not required for the bucket equality test)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:15], 16)
+    return h / 2.0**59 - 1.0
+
+
+def lsh_bucket(
+    vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane signature as one integer bucket, computed
+    entirely with built-in columnar expressions (zip_with + aggregate
+    dot products against literal plane arrays — whole-stage codegen,
+    no Python, no shuffle, no driver action at plan time)."""
+    v = vec_col.cast("array<double>")
+    bucket: Column = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(plane_component(seed, j, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
 
 
 def lsh_signatures(
@@ -94,32 +121,18 @@ def lsh_signatures(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """(id, bucket): random-hyperplane signature as a single integer
-    bucket.  Vectorized numpy matmul inside mapInPandas — one pass,
-    no shuffle."""
+    """(id, bucket) hyperplane signatures.  ``dim`` is required — the
+    array element count is not in the schema, and probing it with
+    ``df.first()`` would run a silent extra job every time a plan is
+    composed (round-1 advice)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, seed)
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType(), False),
-            T.StructField("bucket", T.LongType(), False),
-        ]
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ planes.T) > 0
-            bucket = np.zeros(len(ids), dtype=np.int64)
-            for j in range(n_planes):
-                bucket |= bits[:, j].astype(np.int64) << j
-            yield pd.DataFrame({"vec_id": ids, "bucket": bucket})
-
-    return df.select(F.col(id_col).alias(id_col), F.col(vec_col)).mapInPandas(
-        gen, schema
+        raise ValueError(
+            "lsh_signatures requires dim= (probing the data for it would "
+            "trigger a driver-side job at plan-composition time)"
+        )
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
 
 
@@ -131,20 +144,22 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine re-rank.  Fewer planes → bigger buckets → higher
-    recall and cost (tune per corpus density)."""
-    sig = lsh_signatures(df, id_col, vec_col, n_planes, seed)
-    corpus = df.join(sig, id_col)
-    qsig = lsh_signatures(queries, id_col, vec_col, n_planes, seed)
-    qdf = (
-        queries.join(qsig, id_col)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            "bucket",
-        )
+    recall and cost (tune per corpus density).
+
+    The bucket is a computed column (lsh_bucket) — no signature join,
+    no extra shuffle: the corpus is scanned once, bucketed in codegen,
+    and met by the broadcast query side on a bucket equi-join."""
+    if dim is None:
+        raise ValueError("lsh_ann_topk requires dim= (see lsh_signatures)")
+    corpus = df.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     qa = F.col("qvec").cast("array<double>")
     ca = F.col(vec_col).cast("array<double>")
@@ -172,12 +187,19 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (a < b, cosine ≥ threshold),
-    LSH-bucketed so the pair join never goes quadratic globally."""
-    sig = lsh_signatures(df, id_col, vec_col, n_planes, seed)
-    with_sig = df.join(sig, id_col).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "bucket"
+    LSH-bucketed so the pair join never goes quadratic globally.
+    Scaled/identical-direction duplicates always share every bucket
+    bit, so recall on true near-dups is governed by n_planes only for
+    non-collinear pairs near the threshold."""
+    if dim is None:
+        raise ValueError("cosine_near_dup_pairs requires dim= (see lsh_signatures)")
+    with_sig = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     a = with_sig.alias("a")
     b = with_sig.alias("b")

@@ -166,7 +166,7 @@ def test_lsh_ann_recall(vecs):
     # probability for a true neighbor is still well above chance.
     queries = vecs.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(vecs, queries, k=3).collect()
-    approx = lsh_ann_topk(vecs, queries, k=3, n_planes=2).collect()
+    approx = lsh_ann_topk(vecs, queries, k=3, n_planes=2, dim=64).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -181,7 +181,7 @@ def test_cosine_near_dup_pairs(spark, vecs):
         "label",
     )
     df = vecs.unionByName(copies)
-    pairs = cosine_near_dup_pairs(df, threshold=0.999)
+    pairs = cosine_near_dup_pairs(df, threshold=0.999, dim=64)
     got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
     expected = {(i, i + 10000) for i in range(5)}
     assert expected <= got
@@ -274,3 +274,55 @@ def test_jaccard_sizes_use_post_cap_universe(spark):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
     assert (1, 2) in got, "pair missed because denominator counted capped shingles"
     assert abs(got[(1, 2)] - 1 / 3) < 1e-6
+
+
+def test_lsh_plan_composition_runs_no_job(spark):
+    """Composing an LSH plan must not trigger a driver-side action
+    (the old dim probe ran df.first() per signature call).  A plan
+    over a poisoned UDF only fails when an action actually runs."""
+    from pyspark.sql import types as T
+
+    from medea_spark.pipeline import lsh_ann_topk, lsh_signatures
+
+    @F.udf(returnType=T.ArrayType(T.DoubleType()))
+    def boom():
+        raise RuntimeError("action ran during plan composition")
+
+    df = spark.range(4).select(F.col("id").alias("vec_id"), boom().alias("embedding"))
+    sig = lsh_signatures(df, dim=4)  # must not raise
+    plan = lsh_ann_topk(df, df.limit(1), k=1, dim=4)  # must not raise
+    with pytest.raises(Exception, match="action ran"):
+        plan.collect()
+    with pytest.raises(ValueError, match="requires dim"):
+        lsh_signatures(df)
+    _ = sig
+
+
+def test_lsh_buckets_portable_in_duckdb(spark):
+    """The md5-derived planes make buckets reproducible in any SQL
+    engine: DuckDB computes identical buckets for identical vectors."""
+    import duckdb
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    from medea_spark.pipeline import lsh_signatures
+
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_signatures(vecs, n_planes=6, seed=9, dim=64).collect()
+    }
+    con = duckdb.connect()
+    sql = f"""
+    with planes as (
+        select j, list_transform(generate_series(0, 63), d ->
+            cast(('0x' || substr(md5('9:' || j || ':' || d), 1, 15)) as bigint)
+              / 576460752303423488.0 - 1.0) as plane
+        from generate_series(0, 5) t(j)
+    )
+    select vec_id,
+           sum(case when list_dot_product(embedding::DOUBLE[], plane) > 0
+                    then (cast(1 as bigint) << j) else 0 end) as bucket
+    from (select * from '{SF}/embeddings.parquet' limit 50) cross join planes
+    group by vec_id
+    """
+    duck = {int(r[0]): int(r[1]) for r in con.sql(sql).fetchall()}
+    assert got == duck
