@@ -450,10 +450,49 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dedup groups (rows-only: blake2b hashing is Python-side)."""
+    """SimHash dedup groups.  Token hashes come from the md5-portable
+    60-bit family and the majority vote is plain SQL aggregation, so
+    the DuckDB oracle reproduces every fingerprint bit-exactly."""
     return simhash_duplicate_groups(
         _docs_with_dups(spark, sf_dir), "doc_id", "text"
     ).orderBy("simhash")
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of pipeline.dedup.simhash over the dup-injected docs:
+    explode tokens → 60 bit votes → majority → group identical prints."""
+    from medea_spark.pipeline.dedup import SIMHASH_BITS
+
+    votes = ",\n               ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recon = " + ".join(
+        f"(case when v{b} > 0 then (cast(1 as bigint) << {b}) else 0 end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        _ORACLE_DOCS2
+        + f"""
+        , toks as (
+            select doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) as tok
+            from docs2
+        ), th as (
+            select doc_id, cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h
+            from toks where tok <> ''
+        ), votes as (
+            select doc_id,
+               {votes}
+            from th group by doc_id
+        ), sims as (
+            select doc_id, ({recon}) as simhash from votes
+        )
+        select simhash, count(*) as n_docs, min(doc_id) as keep_id
+        from sims group by simhash having count(*) > 1
+        order by simhash
+        """
+    )
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         group by 1 having count(*) > 1
         order by text_hash
         """,
+        "simhash_groups": _simhash_oracle_sql(),
         "minhash_signatures": r"""
         with words as (
             select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as w

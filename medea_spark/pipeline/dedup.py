@@ -14,8 +14,9 @@ Four families, each with a clear scale story:
                     band key.  Everything is expressible with built-in
                     functions (no UDF), and because the hash is md5 the
                     signatures are engine-portable.
-* SimHash         — 64-bit majority-vote fingerprint over token hashes;
-                    vectorized numpy inside mapInPandas (bit-parallel),
+* SimHash         — 60-bit majority-vote fingerprint over md5-portable
+                    token hashes, computed with built-in columnar ops
+                    (explode + 60 sum aggregates, map-side combined);
                     near-dups = identical simhash (or small Hamming
                     distance via multi-probe bands).
 
@@ -24,11 +25,8 @@ Embedding-cosine near-dup lives in medea_spark.pipeline.similarity.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _norm_words(text_col: Column) -> Column:
@@ -179,54 +177,38 @@ def minhash_lsh_candidates(
     )
 
 
-SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("simhash", T.LongType(), False),
-    ]
-)
+SIMHASH_BITS = 60  # 15 hex chars of md5 — the engine-portable hash width
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (mapInPandas, numpy bit-parallel).
+    """60-bit SimHash per document, entirely with built-in columnar ops.
 
-    Token hashes come from Python's deterministic blake2b (seeded by
-    the token bytes only), so results are stable across runs/executors.
-    This is the designated Pandas-UDF fallback path: per-bit majority
-    voting is not expressible with built-in columnar ops at acceptable
-    cost (a 64x explode), so the kernel runs inside Arrow batches.
+    token hash = the md5-portable 60-bit family (_md5_hash64); bit b of
+    the fingerprint = majority vote of bit b over all token occurrences
+    (ties → 0).  Shape: one explode + one map-side-combined groupBy with
+    60 sum aggregates — the same scale profile as MinHash, no Python in
+    the hot path, and bit-identical in any engine with md5 (the DuckDB
+    oracle reproduces it).  Documents with no tokens produce no row
+    (same as the empty-token behavior of the classic formulation).
     """
-    import hashlib
-
-    def _hash_token(tok: str) -> int:
-        return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf[id_col].tolist()
-            texts = pdf[text_col].tolist()
-            out = np.zeros(len(ids), dtype=np.uint64)
-            for i, text in enumerate(texts):
-                toks = (text or "").lower().split()
-                if not toks:
-                    continue
-                acc = np.zeros(64, dtype=np.int64)
-                for tok in toks:
-                    h = _hash_token(tok)
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                    acc += np.where(bits.astype(bool), 1, -1)
-                sim = np.uint64(0)
-                for b in range(64):
-                    if acc[b] > 0:
-                        sim |= np.uint64(1) << np.uint64(b)
-                out[i] = sim
-            yield pd.DataFrame(
-                {"doc_id": ids, "simhash": out.astype(np.int64)}
-            )
-
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        gen, SIMHASH_SCHEMA
+    toks = _norm_words(F.col(text_col))
+    t = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", _md5_hash64(F.col("tok")).alias("h"))
     )
+    votes = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim: Column = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
