@@ -39,7 +39,6 @@ from medea_spark.pipeline import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_duplicate_groups,
-    synthetic_media_table,
     text_profile,
 )
 
@@ -250,14 +249,28 @@ def q_docs_setdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_ORACLE_PATH = "/tmp/medea_oracle/corpus_validation"
+
+
 def q_corpus_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline on the synthetic repo-file corpus: skew detection,
-    salted repartition, kernel UDF, per-partition summary (C1-C7).
-    Rows-only check: the corpus is engine-generated, so DuckDB has no
-    view of it; ground truth is asserted in tests/test_engine_spark.py."""
+    salted partition assignment, kernel UDF, per-partition summary
+    (C1-C7).  The generated corpus (with its ground-truth verdict
+    columns and the engine-assigned part/salt ids) is round-tripped
+    through parquet so DuckDB can independently recompute the summary
+    from expected_valid — a kernel-vs-generator differential through
+    a second engine."""
+    from medea_spark.engine.partitioning import with_partition_columns
+
     df = generate_corpus(spark, 20_000, seed=42)
     skewed = detect_skewed_keys(df, "repo", skew_fraction=0.10)
-    run = validate_table(df, corpus_schema_graph(), num_partitions=16, skewed_keys=skewed)
+    with_partition_columns(df, 16, skewed_keys=skewed).write.mode(
+        "overwrite"
+    ).parquet(_CORPUS_ORACLE_PATH)
+    src = spark.read.parquet(_CORPUS_ORACLE_PATH)
+    run = validate_table(
+        src, corpus_schema_graph(), num_partitions=16, skewed_keys=skewed
+    )
     return run.summary.orderBy("part_id")
 
 
@@ -527,12 +540,52 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table derived from documents.parquet: blob = utf-8 bytes of
+    the text (so DuckDB can recompute sha256/length itself), metadata
+    typed by doc_id % 3; video duration_ms = n_chars (deterministic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    meta = F.struct(
+        kind.alias("kind"),
+        F.lit(None).cast("string").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.when(kind == "video", F.col("n_chars").cast("long")).alias("duration_ms"),
+        F.lit(None).cast("string").alias("uri"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        meta.alias("meta"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary blobs → deterministic features
-    (rows-only: media table is engine-synthesized; decode is stubbed)."""
-    media = synthetic_media_table(spark, 120)
+    """Multimodal plumbing: binary blobs (utf-8 bytes of document text)
+    → Arrow-batch feature extraction.  Blobs derive from a real parquet
+    scan (natural partitioning — no driver-built table fan-out), and
+    n_bytes/sha256 are independently recomputable by DuckDB; the fake
+    decode's feature vector is exercised by pytest determinism tests."""
+    media = _docs_media(spark, sf_dir)
     feats = extract_features(media, dim=16)
     return feats.select("media_id", "n_bytes", "blob_sha256").orderBy("media_id")
+
+
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: relational sequence explode over the
+    metadata duration — prunable by Catalyst before any decode work."""
+    from medea_spark.pipeline import frame_sample_plan
+
+    media = _docs_media(spark, sf_dir)
+    return frame_sample_plan(media, every_ms=100, id_col="media_id").orderBy(
+        "media_id", "frame_idx"
+    )
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
+        "frame_plan": q_frame_plan,
         "embed_near_dups": q_embed_near_dups,
         "ivf_ann_topk": q_ivf_ann_topk,
     }
@@ -846,6 +900,38 @@ def oracle_sql() -> dict[str, str]:
         select query_id, neighbor_id, rank, sim from ranked
         where rank <= 3 order by query_id, rank
         """,
-        # corpus_validation, simhash_groups, media_features:
-        # engine-generated or Python-hash-based inputs → rows-only checks.
+        # The corpus is engine-generated, so the Spark query round-trips
+        # it (with ground-truth verdict columns and engine-assigned
+        # part/salt ids) through parquet; DuckDB recomputes the summary
+        # from expected_valid — an independent check of every kernel
+        # verdict.  violation_count == invalid rows because the kernel
+        # reports first-error-wins (collect_all=False).
+        "corpus_validation": f"""
+        select part_id,
+               count(*) as "rows",
+               cast(sum(case when expected_valid then 1 else 0 end) as bigint) as valid_rows,
+               cast(sum(case when expected_valid then 0 else 1 end) as bigint) as invalid_rows,
+               cast(sum(case when expected_valid then 0 else 1 end) as bigint) as violation_count,
+               count(distinct salt_id) as salt_buckets_seen
+        from read_parquet('{_CORPUS_ORACLE_PATH}/*.parquet')
+        group by part_id order by part_id
+        """,
+        "media_features": """
+        select doc_id as media_id,
+               octet_length(encode(text)) as n_bytes,
+               sha256(text) as blob_sha256
+        from documents order by media_id
+        """,
+        "frame_plan": """
+        select doc_id as media_id,
+               cast(ts_ms / 100 as int) as frame_idx,
+               cast(ts_ms as bigint) as ts_ms
+        from (
+            select doc_id, n_chars,
+                   unnest(generate_series(0, n_chars - 1, 100)) as ts_ms
+            from documents
+            where doc_id % 3 = 2 and n_chars >= 1
+        )
+        order by media_id, frame_idx
+        """,
     }
