@@ -589,14 +589,16 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) approximate top-k (rows-only:
-    centroids come from MLlib KMeans; recall vs the exact baseline is
-    asserted in tests/test_pipeline.py)."""
-    from medea_spark.pipeline import build_ivf_index, ivf_ann_topk
+    """IVF approximate top-k with the engine-portable hash-seeded
+    quantizer, so DuckDB reproduces centroids, cell assignment, probe
+    ranking, and re-rank exactly.  The MLlib KMeans quantizer (the
+    production path) is exercised by recall/determinism tests in
+    tests/test_pipeline.py."""
+    from medea_spark.pipeline import build_ivf_index_hashseed, ivf_ann_topk
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = vecs.filter(F.col("vec_id") < 5)
-    index = build_ivf_index(vecs, nlist=8, seed=42)
+    index = build_ivf_index_hashseed(vecs, nlist=8, seed=42)
     return ivf_ann_topk(index, queries, k=3, n_probe=3).orderBy("query_id", "rank")
 
 
@@ -892,6 +894,53 @@ def oracle_sql() -> dict[str, str]:
                          6) as sim
             from q cross join c
             where c.vec_id <> q.query_id
+        ), ranked as (
+            select *, row_number() over (partition by query_id
+                                         order by sim desc, neighbor_id asc) as rank
+            from scored
+        )
+        select query_id, neighbor_id, rank, sim from ranked
+        where rank <= 3 order by query_id, rank
+        """,
+        "ivf_ann_topk": """
+        with base as (
+            select vec_id, embedding::DOUBLE[] as v from embeddings
+        ), cent as (
+            select (row_number() over (order by md5('42:' || cast(vec_id as varchar)), vec_id)) - 1
+                       as cluster,
+                   v as centroid
+            from base
+            order by md5('42:' || cast(vec_id as varchar)), vec_id
+            limit 8
+        ), assigned as (
+            select vec_id, v, cluster from (
+                select b.vec_id, b.v, c.cluster,
+                       row_number() over (partition by b.vec_id order by
+                           list_dot_product(b.v, c.centroid)
+                             / (sqrt(list_dot_product(b.v, b.v))
+                                * sqrt(list_dot_product(c.centroid, c.centroid))) desc,
+                           c.cluster asc) as r
+                from base b cross join cent c
+            ) where r = 1
+        ), q as (
+            select vec_id as query_id, v as qv from base where vec_id < 5
+        ), probes as (
+            select query_id, qv, cluster from (
+                select q.query_id, q.qv, c.cluster,
+                       row_number() over (partition by q.query_id order by
+                           list_dot_product(q.qv, c.centroid)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(c.centroid, c.centroid))) desc,
+                           c.cluster asc) as pr
+                from q cross join cent c
+            ) where pr <= 3
+        ), scored as (
+            select p.query_id, a.vec_id as neighbor_id,
+                   round(list_dot_product(p.qv, a.v)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(a.v, a.v))), 6) as sim
+            from probes p join assigned a using (cluster)
+            where a.vec_id <> p.query_id
         ), ranked as (
             select *, row_number() over (partition by query_id
                                          order by sim desc, neighbor_id asc) as rank

@@ -10,7 +10,12 @@ from medea_spark.pipeline.dedup import (
     simhash,
     simhash_duplicate_groups,
 )
-from medea_spark.pipeline.ivf import IvfIndex, build_ivf_index, ivf_ann_topk
+from medea_spark.pipeline.ivf import (
+    IvfIndex,
+    build_ivf_index,
+    build_ivf_index_hashseed,
+    ivf_ann_topk,
+)
 from medea_spark.pipeline.multimodal import (
     FEATURE_SCHEMA,
     MEDIA_TABLE_SCHEMA,
@@ -48,6 +53,7 @@ __all__ = [
     "extract_features",
     "IvfIndex",
     "build_ivf_index",
+    "build_ivf_index_hashseed",
     "fingerprint",
     "ivf_ann_topk",
     "frame_sample_plan",

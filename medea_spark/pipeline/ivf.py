@@ -73,6 +73,54 @@ def build_ivf_index(
     return IvfIndex(centroids=centroids, assigned=assigned, id_col=id_col, vec_col=vec_col)
 
 
+def build_ivf_index_hashseed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> IvfIndex:
+    """Zero-iteration coarse quantizer with engine-portable centroid
+    choice: the ``nlist`` vectors with smallest md5("seed:id") seed the
+    cells (cluster = rank in that hash order), and every vector joins
+    the centroid of maximum cosine.  Fully relational — a SQL engine
+    reproduces centroids, assignment, and probing exactly, which is
+    what the DuckDB oracle for ivf_ann_topk does.
+
+    Trade-off vs :func:`build_ivf_index` (MLlib KMeans): cells do not
+    adapt to density, so recall/latency balance is worse; use this
+    variant for differential testing and as a cheap bootstrap, the
+    KMeans one for production indexes.  Assignment here scores
+    |corpus| x nlist rows through a per-id window; the KMeans path
+    assigns in one narrow pass."""
+    w_cent = Window.orderBy("_hk", "_cid")
+    centroids = (
+        df.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("centroid")
+        )
+        .withColumn(
+            "_hk", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_cid").cast("string")))
+        )
+        .orderBy("_hk", "_cid")
+        .limit(nlist)
+        .withColumn("cluster", F.row_number().over(w_cent) - 1)
+        .select("cluster", "centroid")
+    )
+    cv = F.col("centroid")
+    va = F.col(vec_col).cast("array<double>")
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster"))
+    assigned = (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("_csim", cosine(va, cv))
+        .withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .drop("_csim", "_r", "centroid")
+    )
+    return IvfIndex(
+        centroids=centroids, assigned=assigned, id_col=id_col, vec_col=vec_col
+    )
+
+
 def ivf_ann_topk(
     index: IvfIndex,
     queries: DataFrame,

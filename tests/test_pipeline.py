@@ -326,3 +326,22 @@ def test_lsh_buckets_portable_in_duckdb(spark):
     """
     duck = {int(r[0]): int(r[1]) for r in con.sql(sql).fetchall()}
     assert got == duck
+
+
+def test_ivf_hashseed_recall_and_determinism(vecs):
+    """The engine-portable zero-iteration quantizer still probes
+    meaningfully (recall above chance) and is exactly reproducible."""
+    from medea_spark.pipeline import build_ivf_index_hashseed, ivf_ann_topk
+
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(vecs, queries, k=3).collect()
+    index = build_ivf_index_hashseed(vecs, nlist=8, seed=42)
+    assert index.centroids.count() == 8
+    approx = ivf_ann_topk(index, queries, k=3, n_probe=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.25
+    again = ivf_ann_topk(
+        build_ivf_index_hashseed(vecs, nlist=8, seed=42), queries, k=3, n_probe=3
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
