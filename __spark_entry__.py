@@ -602,6 +602,43 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(index, queries, k=3, n_probe=3).orderBy("query_id", "rank")
 
 
+_CKPT_ORACLE_BASE = "/tmp/medea_oracle/checkpoint"
+
+
+def q_checkpoint_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C3/C15 end-to-end: stage the corpus partitioned by part_id
+    (guaranteed wave pruning), validate wave-by-wave committing
+    per-partition checkpoint rows + parquet sinks, then read the
+    committed checkpoint table back.  The staged input carries
+    ground-truth verdicts and the engine-assigned part ids, so DuckDB
+    independently recomputes every per-partition metric the lifecycle
+    persisted.  (Deterministically empty partitions are excluded: they
+    checkpoint rows=0 rows the oracle's group-by cannot see.)"""
+    import shutil
+
+    from medea_spark.checkpoint import CheckpointStore, run_validation_with_checkpoints
+
+    shutil.rmtree(_CKPT_ORACLE_BASE, ignore_errors=True)
+    df = generate_corpus(spark, 8_000, seed=7)
+    store = CheckpointStore(spark, f"{_CKPT_ORACLE_BASE}/store")
+    run_validation_with_checkpoints(
+        spark,
+        df,
+        corpus_schema_graph(),
+        store,
+        run_id="oracle",
+        num_partitions=16,
+        n_waves=4,
+        stage_location=f"{_CKPT_ORACLE_BASE}/stage",
+    )
+    return (
+        store.read()
+        .filter((F.col("run_id") == "oracle") & (F.col("rows") > 0))
+        .select("part_id", "rows", "valid_rows", "invalid_rows", "violation_count")
+        .orderBy("part_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship at sf0.001: kernel validation over the JSON column with
     the violation census."""
@@ -634,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_plan": q_frame_plan,
         "embed_near_dups": q_embed_near_dups,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "checkpoint_lifecycle": q_checkpoint_lifecycle,
     }
 
 
@@ -963,6 +1001,16 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(case when expected_valid then 0 else 1 end) as bigint) as violation_count,
                count(distinct salt_id) as salt_buckets_seen
         from read_parquet('{_CORPUS_ORACLE_PATH}/*.parquet')
+        group by part_id order by part_id
+        """,
+        "checkpoint_lifecycle": f"""
+        select part_id,
+               count(*) as "rows",
+               cast(sum(case when expected_valid then 1 else 0 end) as bigint) as valid_rows,
+               cast(sum(case when expected_valid then 0 else 1 end) as bigint) as invalid_rows,
+               cast(sum(case when expected_valid then 0 else 1 end) as bigint) as violation_count
+        from read_parquet('{_CKPT_ORACLE_BASE}/stage/run=oracle/*/*.parquet',
+                          hive_partitioning = true)
         group by part_id order by part_id
         """,
         "media_features": """

@@ -142,10 +142,22 @@ def run_validation_with_checkpoints(
     skewed_keys: list[str] | None = None,
     input_fingerprint: str = "",
     output_location: str | None = None,
+    stage_location: str | None = None,
 ) -> ResumableResult:
     """Validate ``df`` wave-by-wave, committing results + checkpoint rows
     per wave; re-invoking with the same ``run_id`` skips checkpointed
-    partitions via anti-join and processes only the remainder."""
+    partitions via anti-join and processes only the remainder.
+
+    Scan-cost contract: the wave filter is on ``part_id``.  When the
+    source is already clustered/partitioned by part_id (an Iceberg
+    table bucketed by repo-hash — the production layout), each wave
+    scan prunes to its slice.  On *unclustered* storage the filter is
+    on a computed column, so every wave re-scans the table (n_waves
+    full scans).  ``stage_location`` removes that footgun for arbitrary
+    inputs: one pass writes the part-id-assigned rows partitioned by
+    part_id, and all waves read the staged table with guaranteed
+    partition pruning (one full scan + one write total, amortized over
+    resume re-invocations too since the stage is reused per run_id)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     fingerprint = _schema_fingerprint(graph)
 
@@ -156,6 +168,16 @@ def run_validation_with_checkpoints(
     base = with_partition_columns(
         df, num_partitions, skewed_keys=skewed_keys
     )
+    if stage_location is not None:
+        stage_path = f"{stage_location.rstrip('/')}/run={run_id}"
+        # Only a _SUCCESS-committed stage is reusable on resume —
+        # a crashed stage write is rebuilt, never trusted.
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{stage_path}/_SUCCESS")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(marker):
+            base.write.mode("overwrite").partitionBy(PART_ID).parquet(stage_path)
+        base = spark.read.parquet(stage_path)
 
     done = {
         r.part_id

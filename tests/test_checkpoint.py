@@ -146,3 +146,33 @@ def test_resume_rejects_changed_input_fingerprint(spark, store):
         input_fingerprint="snapshot-b",
     )
     assert moved.parts_skipped == 0 and moved.parts_done == 4
+
+
+def test_staged_waves_prune_and_resume(spark, store, tmp_path):
+    """stage_location writes the part-id-assigned input partitioned by
+    part_id; every wave scan then prunes to its slice (PartitionFilters
+    at the source), and resume reuses the committed stage."""
+    df = generate_corpus(spark, 600, seed=13)
+    graph = corpus_schema_graph()
+    stage = str(tmp_path / "stage")
+    res = run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="st", num_partitions=4, n_waves=2,
+        stage_location=stage,
+    )
+    assert res.parts_done == 4
+    staged = spark.read.parquet(f"{stage}/run=st")
+    wave = staged.filter(F.col("part_id").isin([0, 2]))
+    plan = wave._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_id" in plan
+    n_wave = wave.select(F.input_file_name()).distinct().count()
+    n_all = staged.select(F.input_file_name()).distinct().count()
+    assert 0 < n_wave < n_all
+    total = (
+        store.read().filter(F.col("run_id") == "st").agg(F.sum("rows")).collect()[0][0]
+    )
+    assert total == 600
+    again = run_validation_with_checkpoints(
+        spark, df, graph, store, run_id="st", num_partitions=4, n_waves=2,
+        stage_location=stage,
+    )
+    assert again.parts_done == 0 and again.parts_skipped == 4
