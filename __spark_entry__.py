@@ -188,9 +188,12 @@ def q_colstats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dup_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted duplicate-key detection (C10)."""
+    """Duplicate-key detection (C10).  Default path: plain hash-agg —
+    Catalyst's map-side partial agg already bounds hot-key reducer load
+    for counts; the explicit salted two-phase variant (for
+    non-algebraic aggregates) is equivalence-tested in tests/."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return duplicate_keys(ev, ["user_id", "event_type"], salted=True).orderBy(
+    return duplicate_keys(ev, ["user_id", "event_type"]).orderBy(
         "user_id", "event_type"
     )
 

@@ -3,12 +3,18 @@
 via salted hash-aggregation").
 
 Catalyst already does partial (map-side) + final hash aggregation for a
-plain ``groupBy(keys).count()``.  The explicit *salted two-phase*
-variant additionally protects the final exchange when a single key is
-pathologically hot (a repeated (repo,path,commit) appearing billions of
-times): phase 1 groups by (keys, partition-local salt) so no reducer
-receives a whole hot key; phase 2 re-aggregates the (already tiny)
-per-salt partials.
+plain ``groupBy(keys).count()``, and for an *algebraic* aggregate like
+count the partial agg alone bounds hot-key reducer load — each mapper
+sends at most one row per (key, mapper).  ``salted=False`` is therefore
+the default.  The explicit *salted two-phase* variant exists for the
+cases partial aggregation cannot cover: non-algebraic/high-cardinality
+aggregates (collect-like, exact distinct structures) or deliberately
+disabled partial aggregation, where phase 1 groups by (keys,
+partition-local salt) so no reducer materializes a whole hot key.  The
+salt is ``spark_partition_id`` — unlike the engine's data-hash salting
+invariant (partitioning.py), a *data* hash of the key columns would be
+constant within the hot key and split nothing; this salt never feeds
+checkpointing, so run-to-run stability is not required.
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def duplicate_keys(df: DataFrame, keys: list[str], salted: bool = True, salt_buckets: int = 32) -> DataFrame:
+def duplicate_keys(df: DataFrame, keys: list[str], salted: bool = False, salt_buckets: int = 32) -> DataFrame:
     """Keys appearing more than once: (keys..., dup_count)."""
     if salted:
         phase1 = (
@@ -32,7 +38,7 @@ def duplicate_keys(df: DataFrame, keys: list[str], salted: bool = True, salt_buc
     return counted.filter(F.col("dup_count") > 1)
 
 
-def uniqueness_report(df: DataFrame, keys: list[str], salted: bool = True) -> DataFrame:
+def uniqueness_report(df: DataFrame, keys: list[str], salted: bool = False) -> DataFrame:
     """One-row summary: total rows, distinct keys, duplicate keys,
     surplus rows (rows that would be dropped by a dedup)."""
     dups = duplicate_keys(df, keys, salted=salted)

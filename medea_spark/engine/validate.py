@@ -101,6 +101,37 @@ def make_validation_udf(
     return F.pandas_udf(_validate_batch, RESULT_STRUCT)
 
 
+def _offending_value_series(contents, pointers):
+    # No annotations: explicit returnType below (PEP 563 stringified
+    # hints break pandas_udf inference — CLAUDE.md trap).
+    import json as _json
+
+    from medea_spark.kernel.validator import offending_value_json
+
+    parsed: dict = {}  # batch-local parse cache (duplicate-heavy corpora)
+    out = []
+    for content, pointer in zip(contents.tolist(), pointers.tolist()):
+        if content is None:
+            out.append(None)
+            continue
+        if content in parsed:
+            value = parsed[content]
+        else:
+            try:
+                value = parsed[content] = _json.loads(content)
+            except (ValueError, TypeError, RecursionError):
+                value = parsed[content] = _SENTINEL_NOT_JSON
+        if value is _SENTINEL_NOT_JSON:
+            out.append(content[:256])
+        else:
+            out.append(offending_value_json(value, pointer))
+    return pd.Series(out, dtype="object")
+
+
+_SENTINEL_NOT_JSON = object()
+_offending_value_udf = F.pandas_udf(_offending_value_series, T.StringType())
+
+
 @dataclass
 class ValidationRun:
     """The three output relations of a validation pass."""
@@ -121,6 +152,7 @@ def validate_table(
     with_sha256: bool = True,
     repartition: bool = False,
     observe: "Observation | None" = None,
+    with_offending_values: bool = False,
 ) -> ValidationRun:
     """Validate every row's ``content_col`` against the compiled graph.
 
@@ -173,17 +205,36 @@ def validate_table(
             F.sum("n_violations").alias("violation_count"),
         )
 
-    violations = (
-        validated.filter(~F.col("is_valid"))
-        .select(*key_cols, PART_ID, F.explode("violations").alias("v"))
-        .select(
-            *key_cols,
-            PART_ID,
-            F.col("v.json_pointer").alias("json_pointer"),
-            F.col("v.failed_constraint").alias("failed_constraint"),
-            F.col("v.schema_name").alias("schema_name"),
+    violation_cols = [
+        F.col("v.json_pointer").alias("json_pointer"),
+        F.col("v.failed_constraint").alias("failed_constraint"),
+        F.col("v.schema_name").alias("schema_name"),
+    ]
+    if with_offending_values:
+        # Dev-mode parity with the reference's error payloads
+        # (NotOneOfOptions !Value etc., Medea.hs:181-204): re-resolve the
+        # violation pointer against the document and embed the truncated
+        # offending chunk.  Only invalid rows pay the second parse, and
+        # only when the flag is on — the 100 TB default keeps violation
+        # rows narrow.
+        violations = (
+            validated.filter(~F.col("is_valid"))
+            .select(*key_cols, PART_ID, F.col(content_col), F.explode("violations").alias("v"))
+            .select(
+                *key_cols,
+                PART_ID,
+                *violation_cols,
+                _offending_value_udf(F.col(content_col), F.col("v.json_pointer")).alias(
+                    "offending_value"
+                ),
+            )
         )
-    )
+    else:
+        violations = (
+            validated.filter(~F.col("is_valid"))
+            .select(*key_cols, PART_ID, F.explode("violations").alias("v"))
+            .select(*key_cols, PART_ID, *violation_cols)
+        )
 
     summary = validated.groupBy(PART_ID).agg(
         F.count(F.lit(1)).alias("rows"),

@@ -9,8 +9,9 @@ returns a parallel tree of ``SchemaInformation`` labels.
 
 Labels mirror the reference's constructors (Medea.hs:118-138):
 ``"$any" | "$null" | "$boolean" | "$number" | "$string" | "$array" |
-"$object"`` for structural matches and the schema name for
-``UserDefined`` matches.
+"$object"`` for structural matches and the schema name for named
+matches, whose ``cls`` field distinguishes ``StartSchema`` (the
+``$start`` root) from ``UserDefined`` (Medea.hs:133-135).
 """
 
 from __future__ import annotations
@@ -60,7 +61,15 @@ def _annotate(graph: SchemaGraph, v: Any, nodes: tuple[Node, ...], parent: str |
             continue
         sub = _annotate(graph, v, scm.types_as, node[2], depth + 1)
         if sub is not None:
-            return {"schema": node[2], "via": sub["schema"], "children": sub.get("children")}
+            return {
+                "schema": node[2],
+                # Reference constructor parity (Medea.hs:133-135): the
+                # $start schema annotates as StartSchema, every other
+                # named schema as UserDefined.
+                "cls": "StartSchema" if node[2] == "$start" else "UserDefined",
+                "via": sub["schema"],
+                "children": sub.get("children"),
+            }
     return None
 
 

@@ -315,6 +315,48 @@ def validate_value(
         return [("", MAX_DEPTH_EXCEEDED, "")]
 
 
+def resolve_pointer(value: Any, pointer: str) -> tuple[bool, Any]:
+    """Resolve an RFC 6901 pointer against a parsed JSON value.
+
+    Returns ``(found, subvalue)``; when the final segment is absent
+    (e.g. a REQUIRED_PROPERTY_IS_MISSING violation points at the key
+    that is not there) the *enclosing* value is returned with
+    ``found=False`` — matching the reference's error payloads, which
+    embed the object that lacked the property (Medea.hs:181-204).
+    """
+    if not pointer:
+        return True, value
+    node = value
+    tokens = pointer.split("/")[1:]
+    for i, raw in enumerate(tokens):
+        token = raw.replace("~1", "/").replace("~0", "~")
+        nxt: Any
+        if isinstance(node, dict) and token in node:
+            nxt = node[token]
+        elif isinstance(node, list) and token.isdigit() and int(token) < len(node):
+            nxt = node[int(token)]
+        else:
+            return False, node
+        node = nxt
+    return True, node
+
+
+def offending_value_json(
+    value: Any, pointer: str, max_len: int = 256
+) -> str:
+    """Dev-mode payload for a violation row: the offending JSON chunk
+    (reference parity: NotOneOfOptions !Value etc. embed the value),
+    serialized compactly and truncated for row-width safety at scale."""
+    _, sub = resolve_pointer(value, pointer)
+    try:
+        s = json.dumps(sub, separators=(",", ":"), ensure_ascii=False)
+    except (TypeError, ValueError):
+        s = repr(sub)
+    if len(s) > max_len:
+        s = s[: max_len - 1] + "…"
+    return s
+
+
 def validate_document(
     graph: SchemaGraph, content: str | bytes, collect_all: bool = False
 ) -> tuple[bool, list[Violation]]:

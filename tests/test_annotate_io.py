@@ -73,3 +73,15 @@ def test_partitioned_write_prunes_waves(spark, tmp_path):
     n_all = back.select(F.input_file_name()).distinct().count()
     assert 0 < n_wave < n_all
     assert wave.select("part_id").distinct().count() == 2
+
+
+def test_annotate_start_vs_userdefined_class():
+    """Reference parity (Medea.hs:133-135): the $start root annotates as
+    StartSchema, other named schemata as UserDefined."""
+    g = compile_schema_text(
+        "$schema $start\n    $type\n        $array\n    $tuple\n        $number\n        inner\n\n"
+        "$schema inner\n    $type\n        $string\n"
+    )
+    ann = annotate_value(g, [1, "x"])
+    assert ann["cls"] == "StartSchema"
+    assert ann["children"][1]["cls"] == "UserDefined"

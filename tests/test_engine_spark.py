@@ -187,3 +187,27 @@ def test_deduped_null_content_matches_default(spark):
         .collect()[0]
     )
     assert row["is_valid"] is False and row["n_violations"] == 1
+
+
+def test_violations_carry_offending_values_in_dev_mode(spark):
+    """with_offending_values=True embeds the truncated offending JSON
+    chunk per violation row (reference error-payload parity); the
+    default path keeps violation rows narrow."""
+    df = spark.createDataFrame(
+        [
+            ("r", "p1", "c", "json", '{"name": 7, "kind": "data", "size": 1}'),
+            ("r", "p2", "c", "json", "not json at all"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    run = validate_table(
+        df, corpus_schema_graph(), num_partitions=2, with_offending_values=True
+    )
+    rows = {r["path"]: r for r in run.violations.collect()}
+    assert rows["p1"]["json_pointer"] == "/name"
+    assert rows["p1"]["offending_value"] == "7"
+    assert rows["p2"]["failed_constraint"] == "NOT_JSON"
+    assert rows["p2"]["offending_value"] == "not json at all"
+    # default: no offending_value column at all
+    default_run = validate_table(df, corpus_schema_graph(), num_partitions=2)
+    assert "offending_value" not in default_run.violations.columns

@@ -174,3 +174,17 @@ def test_specs_only_apply_through_named_schema():
     assert validate_document(graph, "[[1, \"x\", {}]]")[0]
     assert not validate_document(graph, "[]")[0]  # min-length on $start
     assert not validate_document(graph, "[5]")[0]  # element not an array
+
+
+def test_resolve_pointer_and_offending_value():
+    from medea_spark.kernel.validator import offending_value_json, resolve_pointer
+
+    doc = {"a": [1, {"b/c": "x"}], "long": "y" * 500}
+    assert resolve_pointer(doc, "") == (True, doc)
+    assert resolve_pointer(doc, "/a/1/b~1c") == (True, "x")
+    # missing final segment returns the enclosing value (the reference's
+    # RequiredPropertyIsMissing payload embeds the object lacking the key)
+    found, sub = resolve_pointer(doc, "/a/1/zzz")
+    assert not found and sub == {"b/c": "x"}
+    assert offending_value_json(doc, "/a/1/b~1c") == '"x"'
+    assert len(offending_value_json(doc, "/long")) == 256

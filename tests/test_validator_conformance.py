@@ -122,13 +122,13 @@ SINGULAR = {
 }
 
 
-@settings(max_examples=300)
+@settings(max_examples=1000, deadline=None)
 @given(v=json_value)
 def test_any(v):
     assert verdict("any.medea", v)
 
 
-@settings(max_examples=200)
+@settings(max_examples=1000, deadline=None)
 @given(v=json_value, data=st.data())
 def test_singular_types(v, data):
     name = data.draw(st.sampled_from(sorted(SINGULAR)))
@@ -143,7 +143,7 @@ STRING_VALS = {
 }
 
 
-@settings(max_examples=200)
+@settings(max_examples=1000, deadline=None)
 @given(data=st.data())
 def test_string_vals(data):
     name = data.draw(st.sampled_from(sorted(STRING_VALS)))
@@ -223,7 +223,7 @@ OBJECT_CASES = {
 }
 
 
-@settings(max_examples=400)
+@settings(max_examples=1000, deadline=None)
 @given(data=st.data())
 def test_objects(data):
     name = data.draw(st.sampled_from(sorted(OBJECT_CASES)))
@@ -232,7 +232,7 @@ def test_objects(data):
     assert verdict(name, o) == pred(o)
 
 
-@settings(max_examples=150)
+@settings(max_examples=1000, deadline=None)
 @given(v=json_value, data=st.data())
 def test_objects_reject_non_objects(v, data):
     name = data.draw(st.sampled_from(sorted(OBJECT_CASES)))
@@ -254,7 +254,7 @@ LIST_CASES = {
 }
 
 
-@settings(max_examples=400)
+@settings(max_examples=1000, deadline=None)
 @given(data=st.data())
 def test_lists(data):
     name = data.draw(st.sampled_from(sorted(LIST_CASES)))
@@ -279,7 +279,7 @@ TUPLE_CASES = {
 }
 
 
-@settings(max_examples=300)
+@settings(max_examples=1000, deadline=None)
 @given(data=st.data())
 def test_tuples(data):
     name = data.draw(st.sampled_from(sorted(TUPLE_CASES)))
