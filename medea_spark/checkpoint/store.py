@@ -207,11 +207,20 @@ def run_validation_with_checkpoints(
             repartition=True,
         )
         out = f"{(output_location or store.location).rstrip('/')}/run={run_id}/wave={wave}"
-        result.validated.drop("violations").write.mode("overwrite").parquet(
-            f"{out}/validated"
-        )
-        result.violations.write.mode("overwrite").parquet(f"{out}/violations")
-        summary_rows = result.summary.collect()
+        # One kernel pass per wave: the validated relation feeds three
+        # consumers (validated sink, violations sink, summary commit) —
+        # without a persist each consumer would re-run the UDF stage,
+        # tripling the wave's kernel cost.  Wave size already bounds the
+        # cache footprint (that is what waves are for).
+        result.validated.persist()
+        try:
+            result.validated.drop("violations").write.mode("overwrite").parquet(
+                f"{out}/validated"
+            )
+            result.violations.write.mode("overwrite").parquet(f"{out}/violations")
+            summary_rows = result.summary.collect()
+        finally:
+            result.validated.unpersist()
         wall_ms = int((time.monotonic() - t0) * 1000)
         seen = {r[PART_ID] for r in summary_rows}
         records = [
