@@ -143,6 +143,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=8_000_000)
     ap.add_argument("--n", type=int, default=8, help="small level; large level is 4N")
+    ap.add_argument(
+        "--attempts",
+        type=int,
+        default=2,
+        help="interleaved JVM attempts per level; per-level minimum wins "
+        "(a noisy-neighbor window on this shared VM then has to cover "
+        "every attempt of a level to bias it)",
+    )
     args = ap.parse_args()
 
     scratch = tempfile.mkdtemp(prefix="medea_scaling_")
@@ -150,8 +158,19 @@ def main() -> None:
     materialize_corpus(args.rows, corpus_path)
 
     ceiling = calibrate_cpu_ceiling(args.n)
-    small = run_level(args.n, corpus_path)
-    large = run_level(4 * args.n, corpus_path)
+    smalls, larges = [], []
+    for _ in range(max(args.attempts, 1)):
+        smalls.append(run_level(args.n, corpus_path))
+        larges.append(run_level(4 * args.n, corpus_path))
+
+    def merge(results: list[dict]) -> dict:
+        best = min(results, key=lambda r: r["sec"])
+        best = dict(best)
+        best["runs"] = [t for r in results for t in r["runs"]]
+        return best
+
+    small = merge(smalls)
+    large = merge(larges)
     speedup = large["files_per_sec"] / small["files_per_sec"]
     efficiency = speedup / 4.0
     normalized = speedup / ceiling if ceiling > 0 else float("nan")
@@ -170,7 +189,7 @@ def main() -> None:
 
     md = f"""# BENCH/BASELINE.md — measured numbers
 
-Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by `python BENCH/run_scaling.py --rows {args.rows} --n {args.n}`.
+Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by `python BENCH/run_scaling.py --rows {args.rows} --n {args.n} --attempts {args.attempts}`.
 
 ## Two-cluster-size scaling evidence (north rule)
 
@@ -183,11 +202,13 @@ content caching cannot help), one giant monorepo at ~35% of rows), two
 local parallelism levels, each a fresh JVM **CPU-pinned with `taskset -c 0..K-1`** (bounding JVM +
 Python workers together — unpinned local[K] lets pandas-UDF workers
 borrow idle host cores, corrupting the comparison), one untimed
-warm-up then the best of 4 timed runs (noise on this shared VM only
-adds time; the minimum is the steady-state capability, matching a
-long-lived cluster):
+warm-up then 4 timed runs per JVM, {args.attempts} interleaved JVM
+attempt(s) per level (noise on this shared VM only adds time; the
+minimum across attempts is the steady-state capability, matching a
+long-lived cluster, and interleaving means a noisy-neighbor window
+must cover every attempt of a level to bias the comparison):
 
-| parallelism | wall sec (best of 4) | validated files/sec | violations/sec |
+| parallelism | wall sec (best; all runs) | validated files/sec | violations/sec |
 |---|---|---|---|
 | local[{args.n}] (N)   | {small['sec']:.2f} {small['runs']} | {small['files_per_sec']:,.0f} | {small['violations_per_sec']:,.0f} |
 | local[{4*args.n}] (4N) | {large['sec']:.2f} {large['runs']} | {large['files_per_sec']:,.0f} | {large['violations_per_sec']:,.0f} |

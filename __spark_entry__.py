@@ -179,6 +179,28 @@ def q_medea_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_medea_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded violation relation in collect_all mode: every
+    violation of every invalid document with its RFC 6901 pointer and
+    attributed schema — oracles the kernel's non-short-circuit path
+    (banned-additional per extra key, then required-missing, then
+    per-property type recursion) and the pointer assembly itself."""
+    df = _events_with_content(spark, sf_dir)
+    udf = make_validation_udf(_events_graph(), collect_all=True)
+    v = df.withColumn("_vr", udf(F.col("content")))
+    return (
+        v.filter(~F.col("_vr.is_valid"))
+        .select("event_id", F.explode("_vr.violations").alias("viol"))
+        .select(
+            "event_id",
+            F.col("viol.json_pointer").alias("json_pointer"),
+            F.col("viol.failed_constraint").alias("failed_constraint"),
+            F.col("viol.schema_name").alias("schema_name"),
+        )
+        .orderBy("event_id", "json_pointer", "failed_constraint")
+    )
+
+
 def q_colstats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column stats: null rate, min/max, distinct (C8/C9)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -605,6 +627,40 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(index, queries, k=3, n_probe=3).orderBy("query_id", "rank")
 
 
+_DEDUP_ORACLE_PATH = "/tmp/medea_oracle/dedup_validate"
+
+
+def q_dedup_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dedup-then-validate: one kernel call per distinct content,
+    verdicts joined back on the content hash.  The round-tripped corpus
+    carries ground-truth verdicts, so DuckDB independently recomputes
+    the same per-partition summary — proving the dedup/join plumbing
+    changes no verdict (including NULL-content rows)."""
+    from medea_spark.engine.dedup_validate import validate_table_deduped
+    from medea_spark.engine.partitioning import with_partition_columns
+
+    df = generate_corpus(spark, 15_000, seed=21)
+    # Inject NULL contents (the equi-join footgun class): keep the
+    # ground-truth columns consistent (NULL is NOT_JSON-invalid).
+    df = df.withColumn(
+        "content",
+        F.when(F.xxhash64("path") % 97 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("content")
+        ),
+    ).withColumn(
+        "expected_valid",
+        F.when(F.xxhash64("path") % 97 == 0, F.lit(False)).otherwise(
+            F.col("expected_valid")
+        ),
+    )
+    with_partition_columns(df, 8).write.mode("overwrite").parquet(_DEDUP_ORACLE_PATH)
+    src = spark.read.parquet(_DEDUP_ORACLE_PATH)
+    run = validate_table_deduped(src, corpus_schema_graph(), num_partitions=8)
+    return run.summary.select(
+        "part_id", "rows", "valid_rows", "invalid_rows", "violation_count"
+    ).orderBy("part_id")
+
+
 _CKPT_ORACLE_BASE = "/tmp/medea_oracle/checkpoint"
 
 
@@ -652,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "medea_validate_rows": q_medea_validate_rows,
         "medea_violation_classes": q_medea_violation_classes,
+        "medea_violation_rows": q_medea_violation_rows,
         "medea_validation_summary": q_medea_validation_summary,
         "colstats_lineitem": q_colstats_lineitem,
         "dup_keys_events": q_dup_keys_events,
@@ -675,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "ivf_ann_topk": q_ivf_ann_topk,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
+        "dedup_validate": q_dedup_validate,
     }
 
 
@@ -687,6 +745,48 @@ def oracle_sql() -> dict[str, str]:
         select failed_constraint, count(*) as cnt
         from judged where failed_constraint is not null
         group by failed_constraint order by failed_constraint
+        """,
+        "medea_violation_rows": _ORACLE_EVENTS_CTE
+        + """
+        , wellformed as (
+            select event_id, content from mutated
+            where content is not null and json_valid(content)
+              and json_type(content) = 'OBJECT'
+        ), v_notjson as (
+            select event_id, '' as json_pointer, 'NOT_JSON' as failed_constraint,
+                   '' as schema_name
+            from mutated where content is null or not json_valid(content)
+        ), v_roottype as (
+            select event_id, '' as json_pointer, 'NOT_ONE_OF_OPTIONS' as failed_constraint,
+                   '$start' as schema_name
+            from mutated
+            where content is not null and json_valid(content)
+              and json_type(content) <> 'OBJECT'
+        ), v_banned as (
+            select event_id, '/' || k as json_pointer,
+                   'ADDITIONAL_PROP_FOUND_BUT_BANNED' as failed_constraint,
+                   '$start' as schema_name
+            from (select event_id, unnest(json_keys(content)) as k from wellformed)
+            where k <> 'k'
+        ), v_missing as (
+            select event_id, '/k' as json_pointer,
+                   'REQUIRED_PROPERTY_IS_MISSING' as failed_constraint,
+                   '$start' as schema_name
+            from wellformed where json_type(content, '$.k') is null
+        ), v_type as (
+            select event_id, '/k' as json_pointer,
+                   'NOT_ONE_OF_OPTIONS' as failed_constraint,
+                   '$start' as schema_name
+            from wellformed
+            where json_type(content, '$.k') is not null
+              and json_type(content, '$.k') not in ('BIGINT', 'UBIGINT', 'DOUBLE')
+        )
+        select * from v_notjson
+        union all select * from v_roottype
+        union all select * from v_banned
+        union all select * from v_missing
+        union all select * from v_type
+        order by event_id, json_pointer, failed_constraint
         """,
         "medea_validation_summary": _ORACLE_EVENTS_CTE
         + """
@@ -1004,6 +1104,15 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(case when expected_valid then 0 else 1 end) as bigint) as violation_count,
                count(distinct salt_id) as salt_buckets_seen
         from read_parquet('{_CORPUS_ORACLE_PATH}/*.parquet')
+        group by part_id order by part_id
+        """,
+        "dedup_validate": f"""
+        select part_id,
+               count(*) as "rows",
+               cast(sum(case when expected_valid then 1 else 0 end) as bigint) as valid_rows,
+               cast(sum(case when expected_valid then 0 else 1 end) as bigint) as invalid_rows,
+               cast(sum(case when expected_valid then 0 else 1 end) as bigint) as violation_count
+        from read_parquet('{_DEDUP_ORACLE_PATH}/*.parquet')
         group by part_id order by part_id
         """,
         "checkpoint_lifecycle": f"""

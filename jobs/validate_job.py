@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--skew-fraction", type=float, default=0.05)
     ap.add_argument("--content-col", default="content")
+    ap.add_argument(
+        "--stage-location",
+        default=None,
+        help="stage the part-id-assigned input here, partitioned by "
+        "part_id, so every wave scan prunes to its slice (recommended "
+        "when the input is not already clustered by repo-hash)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -59,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         skewed_keys=skewed,
         input_fingerprint=args.input,
         output_location=args.output,
+        stage_location=args.stage_location,
     )
     print(
         "MEDEA_RESULT "
