@@ -43,13 +43,20 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    partial_topk: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, sim): exact top-k cosine neighbors
     of every query vector, excluding self-matches.
 
     ``queries`` is broadcast — the corpus is streamed once, never
-    shuffled; ranking is a per-query window over the (|Q|·k-bounded)
-    aggregated candidates.
+    shuffled; ranking is a per-query window over the aggregated
+    candidates.  With ``partial_topk`` (default) an Arrow-batch local
+    top-k prunes the scored relation *before* the rank-window exchange:
+    the shuffle then carries at most |batches|·|Q|·k narrow rows instead
+    of |corpus|·|Q| — the difference between kilobytes and the whole
+    scored cross product at 100 TB.  Exactness is preserved: every
+    global top-k row is by definition in its own batch's top-k, so the
+    union the window ranks over always contains the true answer.
     """
     qa = F.col(f"q.{vec_col}").cast("array<double>")
     ca = F.col(f"c.{vec_col}").cast("array<double>")
@@ -69,6 +76,24 @@ def brute_force_topk(
             F.round(cosine(qa, ca), 6).alias("sim"),
         )
     )
+    if partial_topk:
+        schema = scored.schema
+
+        def local_topk(batches):
+            for pdf in batches:
+                # Same ordering as the global window (sim desc,
+                # neighbor_id asc) so the batch survivor set is a
+                # superset of the global winners.
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+        scored = scored.mapInPandas(local_topk, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )

@@ -345,3 +345,12 @@ def test_ivf_hashseed_recall_and_determinism(vecs):
         build_ivf_index_hashseed(vecs, nlist=8, seed=42), queries, k=3, n_probe=3
     ).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_brute_force_partial_topk_is_exact(vecs):
+    """The Arrow-batch local top-k prefilter changes the physical plan
+    (shuffle carries ≤ batches·|Q|·k rows), never the answer."""
+    queries = vecs.filter(F.col("vec_id") < 7)
+    full = brute_force_topk(vecs, queries, k=4, partial_topk=False).collect()
+    pruned = brute_force_topk(vecs, queries, k=4, partial_topk=True).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, pruned))
