@@ -176,7 +176,14 @@ def run_validation_with_checkpoints(
         marker = jvm.org.apache.hadoop.fs.Path(f"{stage_path}/_SUCCESS")
         fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(marker):
-            base.write.mode("overwrite").partitionBy(PART_ID).parquet(stage_path)
+            # Cluster by part_id at stage-write time: the content bytes
+            # shuffle exactly once for the whole run (instead of once
+            # per wave), each partition directory gets one coherent
+            # file set, and every wave then reads its pruned slice with
+            # no further exchange.
+            base.repartition(num_partitions, F.col(PART_ID)).write.mode(
+                "overwrite"
+            ).partitionBy(PART_ID).parquet(stage_path)
         base = spark.read.parquet(stage_path)
 
     done = {
@@ -199,12 +206,17 @@ def run_validation_with_checkpoints(
             continue
         t0 = time.monotonic()
         wave_df = base.filter(F.col(PART_ID).isin(wave_parts))
+        # Staged input is already physically clustered by part_id, so a
+        # salted repartition would re-shuffle the content bytes for
+        # nothing (the repo invariant is that they never shuffle on the
+        # default path).  Unstaged inputs keep the explicit exchange so
+        # per-wave output files land clustered by (part_id, salt_id).
         result: ValidationRun = validate_table(
             wave_df,
             graph,
             num_partitions=num_partitions,
             skewed_keys=skewed_keys,
-            repartition=True,
+            repartition=stage_location is None,
         )
         out = f"{(output_location or store.location).rstrip('/')}/run={run_id}/wave={wave}"
         # One kernel pass per wave: the validated relation feeds three
