@@ -496,6 +496,92 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("simhash")
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within max_hamming bits via lossless
+    multi-probe banding (max_hamming < bands ⇒ some band untouched by
+    pigeonhole).  Inputs include exact copies (hamming 0) and one-token
+    near copies (small hamming); DuckDB rebuilds fingerprints, bands,
+    and popcounts bit-exactly."""
+    from medea_spark.pipeline import simhash_near_dup_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    exact = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+    )
+    df = docs.unionByName(exact).unionByName(near)
+    return simhash_near_dup_pairs(
+        df, "doc_id", "text", max_hamming=10, bands=12
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_sims_sql(docs_cte: str) -> str:
+    """votes → fingerprint SQL chain over a CTE named ``docs_src``."""
+    from medea_spark.pipeline.dedup import SIMHASH_BITS
+
+    votes = ",\n               ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recon = " + ".join(
+        f"(case when v{b} > 0 then (cast(1 as bigint) << {b}) else 0 end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        docs_cte
+        + f"""
+        , toks as (
+            select doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) as tok
+            from docs_src
+        ), th as (
+            select doc_id, cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h
+            from toks where tok <> ''
+        ), votes as (
+            select doc_id,
+               {votes}
+            from th group by doc_id
+        ), sims as (
+            select doc_id, ({recon}) as simhash from votes
+        )
+        """
+    )
+
+
+def _simhash_near_pairs_oracle_sql() -> str:
+    docs_cte = """
+        with docs_src as (
+            select doc_id, text from documents where doc_id % 10 = 0
+            union all
+            select doc_id + 100000, text from documents where doc_id % 10 = 0
+            union all
+            select doc_id + 200000, 'zzz ' || text from documents where doc_id % 10 = 0
+        )
+    """
+    return (
+        _simhash_sims_sql(docs_cte)
+        + """
+        , banded as (
+            select doc_id, simhash, b as band,
+                   (simhash >> (b * 5)) & 31 as key
+            from sims cross join generate_series(0, 11) t(b)
+        ), cand as (
+            select distinct x.doc_id as doc_a, y.doc_id as doc_b,
+                   cast(bit_count(xor(x.simhash, y.simhash)) as int) as hamming
+            from banded x join banded y using (band, key)
+            where x.doc_id < y.doc_id
+        )
+        select doc_a, doc_b, hamming from cand
+        where hamming <= 10 order by doc_a, doc_b
+        """
+    )
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB twin of pipeline.dedup.simhash over the dup-injected docs:
     explode tokens → 60 bit votes → majority → group identical prints."""
@@ -726,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "simhash_groups": q_simhash_groups,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,
@@ -927,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         order by text_hash
         """,
         "simhash_groups": _simhash_oracle_sql(),
+        "simhash_near_pairs": _simhash_near_pairs_oracle_sql(),
         "minhash_signatures": r"""
         with words as (
             select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as w

@@ -9,6 +9,7 @@ from medea_spark.pipeline.dedup import (
     shingles,
     simhash,
     simhash_duplicate_groups,
+    simhash_near_dup_pairs,
 )
 from medea_spark.pipeline.ivf import (
     IvfIndex,
@@ -70,6 +71,7 @@ __all__ = [
     "shingles",
     "simhash",
     "simhash_duplicate_groups",
+    "simhash_near_dup_pairs",
     "stopword_ratio",
     "synthetic_media_table",
     "text_profile",

@@ -212,10 +212,61 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Documents sharing an identical 64-bit simhash."""
+    """Documents sharing an identical 60-bit simhash."""
     s = simhash(df, id_col, text_col)
     return (
         s.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) whose simhashes differ in at most
+    ``max_hamming`` of the 60 bits.
+
+    Multi-probe banding bounds the pair search: the fingerprint splits
+    into ``bands`` contiguous bit-bands and candidates must share at
+    least one band verbatim — by pigeonhole this is *lossless* whenever
+    ``max_hamming < bands`` (fewer flipped bits than bands means some
+    band is untouched).  Candidates then pass an exact popcount check
+    on the XOR.  One band equi-join — never globally quadratic — and
+    every step (band extraction, xor, bit_count) is a built-in.
+    """
+    assert max_hamming < bands, "banding is only lossless when max_hamming < bands"
+    s = simhash(df, id_col, text_col)
+    width = SIMHASH_BITS // bands + (1 if SIMHASH_BITS % bands else 0)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = s.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -354,3 +354,34 @@ def test_brute_force_partial_topk_is_exact(vecs):
     full = brute_force_topk(vecs, queries, k=4, partial_topk=False).collect()
     pruned = brute_force_topk(vecs, queries, k=4, partial_topk=True).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, pruned))
+
+
+def test_simhash_near_dup_pairs(docs, spark):
+    """Exact copies at hamming 0, one-token near copies at small
+    hamming; banding with max_hamming < bands loses no pair (verified
+    against the unbanded popcount cross-check)."""
+    from medea_spark.pipeline import simhash, simhash_near_dup_pairs
+
+    subset = docs.filter((F.col("doc_id") % 50 == 0) | (F.col("doc_id") >= 100000))
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            subset, "doc_id", "text", max_hamming=10, bands=12
+        ).collect()
+    }
+    base_ids = {
+        r["doc_id"]
+        for r in subset.filter(F.col("doc_id") < 100000).select("doc_id").collect()
+    }
+    for i in sorted(base_ids)[:3]:
+        assert pairs.get((i, i + 100000)) == 0, f"exact copy of {i} missed"
+    # lossless banding: brute-force popcount over the same fingerprints
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(subset, "doc_id", "text").collect()}
+    ids = sorted(sims)
+    brute = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 10
+    }
+    assert pairs == brute
