@@ -94,6 +94,7 @@ class CompiledSchema:
     prim_types: frozenset[int] = field(default_factory=frozenset)
     custom_names: tuple[str, ...] = field(default=())
     string_val_set: frozenset[str] = field(default_factory=frozenset)
+    required_keys: tuple[str, ...] = ()  # prop_order minus optionals
 
 
 SchemaGraph = dict[str, CompiledSchema]
@@ -164,6 +165,7 @@ def _compile_schema(spec: SchemaSpec) -> CompiledSchema:
         prim_types=frozenset(n[1] for n in types_as if n[0] == 1),
         custom_names=tuple(n[2] for n in types_as if n[0] == 2),
         string_val_set=frozenset(spec.string_vals),
+        required_keys=tuple(k for k in prop_order if not props[k][1]),
     )
 
     # Spec/type compatibility gates (Analysis.hs:174-185, 301-311).

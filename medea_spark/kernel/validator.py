@@ -70,20 +70,24 @@ def _reject_constant(_: str) -> Any:
     raise ValueError("non-standard JSON constant")
 
 
+# json.loads yields exactly these concrete types, so an exact-type map
+# is both correct and the fastest dispatch (one dict hit vs a branch
+# cascade — _type_of runs once per JSON node, the hottest line of the
+# kernel).
+_TYPE_MAP = {
+    type(None): JSON_NULL,
+    bool: JSON_BOOLEAN,
+    int: JSON_NUMBER,
+    float: JSON_NUMBER,
+    str: JSON_STRING,
+    list: JSON_ARRAY,
+    dict: JSON_OBJECT,
+}
+
+
 def _type_of(v: Any) -> int:
     """Reference parity: JSONType.hs:29-36 typeOf."""
-    if v is None:
-        return JSON_NULL
-    t = type(v)
-    if t is bool:
-        return JSON_BOOLEAN
-    if t is int or t is float:
-        return JSON_NUMBER
-    if t is str:
-        return JSON_STRING
-    if t is list:
-        return JSON_ARRAY
-    return JSON_OBJECT
+    return _TYPE_MAP[type(v)]
 
 
 def _escape_pointer_token(token: str) -> str:
@@ -283,17 +287,32 @@ def _check_object(
             if pairing is None:
                 pairing = []
             pairing.append((key, val, node))
-    for key in scm.prop_order:
-        node, optional = props[key]
-        if not optional and key not in obj:
+    for key in scm.required_keys:
+        if key not in obj:
             errs.append(
                 (f"/{_escape_pointer_token(key)}", REQUIRED_PROPERTY_IS_MISSING, parent)
             )
             if short_circuit:
                 return errs
     if pairing:
+        # _check_child inlined: one call per property is the kernel's
+        # hottest call site, and the primitive-node case is a bare
+        # type-equality check.
+        tm = _TYPE_MAP
         for key, val, node in pairing:
-            sub = _check_child(graph, val, node, parent, depth, short_circuit)
+            if node[0] == 1:
+                if tm[type(val)] == node[1]:
+                    continue
+                sub: list[Violation] = [("", NOT_ONE_OF_OPTIONS, parent)]
+            else:
+                name = node[2]
+                scm2 = graph.get(name)
+                if scm2 is None:
+                    sub = [("", IMPLEMENTATION_ERROR, name)]
+                else:
+                    sub = _check_types(
+                        graph, val, scm2.types_as, name, depth + 1, short_circuit, name
+                    )
             if sub:
                 errs.extend(_prefixed(sub, _escape_pointer_token(key)))
                 if short_circuit:
