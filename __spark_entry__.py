@@ -480,6 +480,25 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_char_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dup pairs — the shingle unit for source
+    code and short strings where token boundaries are unreliable (this
+    engine's domain is repo files).  Near copies are injected with a
+    4-char prefix so pairs land strictly below 1.0."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    near = docs.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+    )
+    return ngram_jaccard_pairs(
+        docs.unionByName(near), "doc_id", "text", n=5, threshold=0.6, unit="char"
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search (exact baseline)."""
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -810,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_char_pairs": q_jaccard_char_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "simhash_groups": q_simhash_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1059,6 +1079,35 @@ def oracle_sql() -> dict[str, str]:
         join sizes sa on sa.doc_id = doc_a
         join sizes sb on sb.doc_id = doc_b
         where cast(i as double) / (sa.n_sh + sb.n_sh - i) >= 0.5
+        order by doc_a, doc_b
+        """,
+        "jaccard_char_pairs": """
+        with subset as (
+            select doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') as t
+            from documents where doc_id % 25 = 0
+            union all
+            select doc_id + 300000,
+                   regexp_replace(trim(lower('zzz ' || text)), '\\s+', ' ', 'g')
+            from documents where doc_id % 25 = 0
+        ), sh as (
+            select distinct doc_id,
+                   unnest(list_transform(generate_series(1, greatest(length(t) - 4, 0)),
+                                         i -> substr(t, i, 5))) as shingle
+            from subset
+        ), sizes as (
+            select doc_id, count(*) as n_sh from sh group by doc_id
+        ), inter as (
+            select x.doc_id as doc_a, y.doc_id as doc_b, count(*) as i
+            from sh x join sh y using (shingle)
+            where x.doc_id < y.doc_id
+            group by 1, 2
+        )
+        select doc_a, doc_b,
+               round(cast(i as double) / (sa.n_sh + sb.n_sh - i), 6) as jaccard
+        from inter
+        join sizes sa on sa.doc_id = doc_a
+        join sizes sb on sb.doc_id = doc_b
+        where round(cast(i as double) / (sa.n_sh + sb.n_sh - i), 6) >= 0.6
         order by doc_a, doc_b
         """,
         "embed_near_dups": f"""

@@ -46,19 +46,31 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
-    Documents shorter than n words produce no shingles."""
-    words = _norm_words(F.col(text_col))
-    n_grams = F.size(words) - (n - 1)
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, unit: str = "word"
+) -> DataFrame:
+    """Distinct n-gram shingles per document: (doc_id, shingle).
+
+    ``unit="word"`` (default) shingles over whitespace tokens;
+    ``unit="char"`` shingles over characters of the normalized text —
+    the classic choice for source code and short strings, where token
+    boundaries are unreliable.  Documents shorter than n units produce
+    no shingles."""
+    if unit == "char":
+        norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+        n_grams = F.length(norm) - (n - 1)
+        gram = lambda i: norm.substr(i, F.lit(n))  # noqa: E731
+    elif unit == "word":
+        words = _norm_words(F.col(text_col))
+        n_grams = F.size(words) - (n - 1)
+        gram = lambda i: F.concat_ws(" ", F.slice(words, i, n))  # noqa: E731
+    else:
+        raise ValueError(f"unknown shingle unit {unit!r}")
     # Guard: Spark's sequence(1, 0) counts *down* — short docs need an
     # explicit empty array (DuckDB's generate_series(1, 0) is empty).
     grams = F.when(
         n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
+        F.transform(F.sequence(F.lit(1), n_grams), gram),
     ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
@@ -73,6 +85,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting: int = 1000,
+    unit: str = "word",
 ) -> DataFrame:
     """Document pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
@@ -85,7 +98,7 @@ def ngram_jaccard_pairs(
     filter, self-join); persisting it avoids re-running the explode per
     branch — at scale you would materialize it to a table instead.
     """
-    raw = shingles(df, id_col, text_col, n).persist()
+    raw = shingles(df, id_col, text_col, n, unit=unit).persist()
     posting_ok = (
         raw.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))

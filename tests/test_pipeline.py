@@ -385,3 +385,13 @@ def test_simhash_near_dup_pairs(docs, spark):
         if bin(sims[a] ^ sims[b]).count("1") <= 10
     }
     assert pairs == brute
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([(1, "AB  cd"), (2, "ab")], ["doc_id", "text"])
+    sh = shingles(df, "doc_id", "text", n=3, unit="char")
+    got = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
+    # normalized text of doc 1 is "ab cd"; doc 2 is too short for 3-grams
+    assert got == {(1, "ab "), (1, "b c"), (1, " cd")}
+    with pytest.raises(ValueError, match="unknown shingle unit"):
+        shingles(df, "doc_id", "text", unit="byte")
