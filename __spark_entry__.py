@@ -707,6 +707,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "blob_sha256").orderBy("media_id")
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (decode stubbed): deterministic fake
+    resize digest sha256(blob || "|64x64") over the documents-derived
+    blobs — DuckDB recomputes it from the text bytes."""
+    from medea_spark.pipeline import resize_media
+
+    media = _docs_media(spark, sf_dir)
+    return resize_media(media, width=64, height=64).orderBy("media_id")
+
+
 def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: relational sequence explode over the
     metadata duration — prunable by Catalyst before any decode work."""
@@ -836,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,
+        "media_resize": q_media_resize,
         "embed_near_dups": q_embed_near_dups,
         "ivf_ann_topk": q_ivf_ann_topk,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
@@ -1266,6 +1277,14 @@ def oracle_sql() -> dict[str, str]:
         select doc_id as media_id,
                octet_length(encode(text)) as n_bytes,
                sha256(text) as blob_sha256
+        from documents order by media_id
+        """,
+        "media_resize": """
+        select doc_id as media_id,
+               cast(64 as int) as width,
+               cast(64 as int) as height,
+               sha256(text || '|64x64') as resized_sha256,
+               octet_length(encode(text)) as n_bytes_in
         from documents order by media_id
         """,
         "frame_plan": """

@@ -21,6 +21,7 @@ from medea_spark.pipeline.multimodal import (
     FEATURE_SCHEMA,
     MEDIA_TABLE_SCHEMA,
     extract_features,
+    resize_media,
     frame_sample_plan,
     synthetic_media_table,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "exact_duplicate_groups",
     "extract_features",
+    "resize_media",
     "IvfIndex",
     "build_ivf_index",
     "build_ivf_index_hashseed",

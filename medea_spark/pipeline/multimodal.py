@@ -110,6 +110,63 @@ def extract_features(
     return df.select(id_col, blob_col).mapInPandas(gen, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized_sha256", T.StringType(), False),
+        T.StructField("n_bytes_in", T.LongType(), False),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    decoder: str = "fake",
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """blob → resized-image record (media_id, width, height,
+    resized_sha256, n_bytes_in).
+
+    Arrow-batched like extract_features; ``decoder="real"`` is the
+    PIL/ffmpeg seam (NotImplementedError in this container, per the
+    task brief).  The fake decode emits sha256(blob || "|WxH") — a
+    deterministic stand-in any engine can recompute, which keeps the
+    batch shape, schema, and partitioning behavior real and testable.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    suffix = f"|{width}x{height}".encode()
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shas, nbytes = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "real image resizing requires PIL/ffmpeg — not in this image"
+                    )
+                blob = bytes(blob) if blob is not None else b""
+                ids.append(mid)
+                nbytes.append(len(blob))
+                shas.append(hashlib.sha256(blob + suffix).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "resized_sha256": shas,
+                    "n_bytes_in": nbytes,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(gen, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

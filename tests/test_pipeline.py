@@ -395,3 +395,19 @@ def test_char_shingles(spark):
     assert got == {(1, "ab "), (1, "b c"), (1, " cd")}
     with pytest.raises(ValueError, match="unknown shingle unit"):
         shingles(df, "doc_id", "text", unit="byte")
+
+
+def test_resize_media_stub_and_determinism(spark):
+    from medea_spark.pipeline import resize_media
+
+    media = synthetic_media_table(spark, 12)
+    a = {r["media_id"]: tuple(r) for r in resize_media(media, 32, 48).collect()}
+    b = {r["media_id"]: tuple(r) for r in resize_media(media, 32, 48).collect()}
+    assert a == b and len(a) == 12
+    row = next(iter(a.values()))
+    assert row[1] == 32 and row[2] == 48 and len(row[3]) == 64
+    # different target dims → different digests (dims are part of the seam)
+    c = {r["media_id"]: r["resized_sha256"] for r in resize_media(media, 64, 64).collect()}
+    assert all(c[m] != a[m][3] for m in c)
+    with pytest.raises(Exception, match="NotImplementedError|real image resizing"):
+        resize_media(media, decoder="real").collect()
