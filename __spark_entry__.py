@@ -70,7 +70,11 @@ def _events_with_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.props with deterministic corruption injected so every
     validation-error class occurs; the DuckDB oracle applies the same
     mutation expression (see _ORACLE_CONTENT)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from medea_spark.engine import ensure_kernel_parallelism
+
+    events = ensure_kernel_parallelism(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
     m = F.col("event_id") % 11
     content = (
         F.when(m == 0, F.substring("props", 2, 1_000_000_000))
@@ -344,7 +348,9 @@ def _nested_graph():
 
 
 def _lineitem_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from medea_spark.engine import ensure_kernel_parallelism
+
+    li = ensure_kernel_parallelism(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     qty = F.col("l_quantity").cast("string")
     flag = F.col("l_returnflag")
     a = F.col("l_linenumber").cast("string")

@@ -8,7 +8,12 @@ from medea_spark.engine.partitioning import (
     with_partition_columns,
 )
 from medea_spark.engine.dedup_validate import validate_table_deduped
-from medea_spark.engine.io import read_repo_files, write_partitioned, write_table
+from medea_spark.engine.io import (
+    ensure_kernel_parallelism,
+    read_repo_files,
+    write_partitioned,
+    write_table,
+)
 from medea_spark.engine.session import get_spark
 from medea_spark.engine.validate import (
     RESULT_STRUCT,
@@ -19,6 +24,7 @@ from medea_spark.engine.validate import (
 )
 
 __all__ = [
+    "ensure_kernel_parallelism",
     "PART_ID",
     "RESULT_STRUCT",
     "SALT_ID",

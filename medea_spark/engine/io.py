@@ -53,3 +53,22 @@ def write_partitioned(
         df.writeTo(target).partitionedBy(*partition_cols).createOrReplace()
         return
     df.write.mode(mode).partitionBy(*partition_cols).parquet(target)
+
+
+def ensure_kernel_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the scan produced fewer splits than cores.
+
+    A CPU-bound Arrow-kernel stage inherits the scan's partitioning; a
+    small parquet input (one file, few row groups) therefore runs the
+    kernel on one or two cores no matter how many exist, and AQE cannot
+    re-split a map-only stage.  At 100 TB the scan yields thousands of
+    splits and this is a no-op (the content bytes never shuffle on the
+    big-data path); below the threshold the repartition exchanges a few
+    megabytes to light up every core.
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)

@@ -98,7 +98,12 @@ def make_validation_udf(
             violations.append(out)
         return pd.DataFrame({"is_valid": valids, "violations": violations})
 
-    return F.pandas_udf(_validate_batch, RESULT_STRUCT)
+    # asNondeterministic despite the kernel being pure: it is an
+    # *evaluate-once* pledge to Catalyst.  Otherwise a plan that
+    # filters on _vr.is_valid and projects _vr.violations re-runs the
+    # whole kernel per reference (CollapseProject dedupes only within
+    # one Project) — measured 3x on the violation-census query shape.
+    return F.pandas_udf(_validate_batch, RESULT_STRUCT).asNondeterministic()
 
 
 def _offending_value_series(contents, pointers):
