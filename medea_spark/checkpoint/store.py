@@ -169,7 +169,16 @@ def run_validation_with_checkpoints(
         df, num_partitions, skewed_keys=skewed_keys
     )
     if stage_location is not None:
-        stage_path = f"{stage_location.rstrip('/')}/run={run_id}"
+        # The stage is keyed by (run_id, input fingerprint): a rerun of
+        # the same run_id after the input moved must not reuse the
+        # stale staged rows (the lineage check already forces a full
+        # re-validation in that case — it has to see the new input).
+        import hashlib
+
+        stage_key = run_id
+        if input_fingerprint:
+            stage_key += "-" + hashlib.sha256(input_fingerprint.encode()).hexdigest()[:8]
+        stage_path = f"{stage_location.rstrip('/')}/run={stage_key}"
         # Only a _SUCCESS-committed stage is reusable on resume —
         # a crashed stage write is rebuilt, never trusted.
         jvm = spark._jvm

@@ -176,3 +176,29 @@ def test_staged_waves_prune_and_resume(spark, store, tmp_path):
         stage_location=stage,
     )
     assert again.parts_done == 0 and again.parts_skipped == 4
+
+
+def test_staged_resume_restages_on_input_change(spark, store, tmp_path):
+    """Re-invoking a run_id with a different input fingerprint must not
+    reuse the stale staged rows — the stage is keyed by (run_id,
+    input_fingerprint) and the new input is fully re-validated."""
+    stage = str(tmp_path / "stage")
+    graph = corpus_schema_graph()
+    df1 = generate_corpus(spark, 300, seed=1)
+    run_validation_with_checkpoints(
+        spark, df1, graph, store, run_id="si", num_partitions=4, n_waves=1,
+        input_fingerprint="in-a", stage_location=stage,
+    )
+    df2 = generate_corpus(spark, 500, seed=2)
+    res = run_validation_with_checkpoints(
+        spark, df2, graph, store, run_id="si", num_partitions=4, n_waves=1,
+        input_fingerprint="in-b", stage_location=stage,
+    )
+    assert res.parts_skipped == 0 and res.parts_done == 4
+    total = (
+        store.read()
+        .filter((F.col("run_id") == "si") & (F.col("input_fingerprint") == "in-b"))
+        .agg(F.sum("rows"))
+        .collect()[0][0]
+    )
+    assert total == 500
