@@ -134,7 +134,13 @@ def _offending_value_series(contents, pointers):
 
 
 _SENTINEL_NOT_JSON = object()
-_offending_value_udf = F.pandas_udf(_offending_value_series, T.StringType())
+
+
+def _make_offending_value_udf():
+    # Constructed per validate_table call (like make_validation_udf): a
+    # module-level pandas_udf caches its JVM handle on first use and
+    # breaks if the SparkSession is restarted within the same process.
+    return F.pandas_udf(_offending_value_series, T.StringType())
 
 
 @dataclass
@@ -229,9 +235,9 @@ def validate_table(
                 *key_cols,
                 PART_ID,
                 *violation_cols,
-                _offending_value_udf(F.col(content_col), F.col("v.json_pointer")).alias(
-                    "offending_value"
-                ),
+                _make_offending_value_udf()(
+                    F.col(content_col), F.col("v.json_pointer")
+                ).alias("offending_value"),
             )
         )
     else:

@@ -86,8 +86,14 @@ _TYPE_MAP = {
 
 
 def _type_of(v: Any) -> int:
-    """Reference parity: JSONType.hs:29-36 typeOf."""
-    return _TYPE_MAP[type(v)]
+    """Reference parity: JSONType.hs:29-36 typeOf.  Foreign types (a
+    caller passing Decimal/OrderedDict/tuple through the public
+    validate_value) fall back to JSON_OBJECT as before the dispatch-map
+    rewrite — never a KeyError escaping the kernel."""
+    try:
+        return _TYPE_MAP[type(v)]
+    except KeyError:
+        return JSON_OBJECT
 
 
 def _escape_pointer_token(token: str) -> str:
@@ -298,10 +304,10 @@ def _check_object(
         # _check_child inlined: one call per property is the kernel's
         # hottest call site, and the primitive-node case is a bare
         # type-equality check.
-        tm = _TYPE_MAP
+        tm_get = _TYPE_MAP.get
         for key, val, node in pairing:
             if node[0] == 1:
-                if tm[type(val)] == node[1]:
+                if tm_get(type(val), JSON_OBJECT) == node[1]:
                     continue
                 sub: list[Violation] = [("", NOT_ONE_OF_OPTIONS, parent)]
             else:

@@ -98,7 +98,12 @@ def ngram_jaccard_pairs(
     filter, self-join); persisting it avoids re-running the explode per
     branch — at scale you would materialize it to a table instead.
     """
-    raw = shingles(df, id_col, text_col, n, unit=unit).persist()
+    # Only the post-cap relation is persisted (three consumers: sizes +
+    # both self-join sides); `raw` is scanned twice while materializing
+    # it, which is cheaper than pinning a second cached copy of the full
+    # explode for the session.  Long-lived pipelines should materialize
+    # shingles to a table instead of relying on session caching.
+    raw = shingles(df, id_col, text_col, n, unit=unit)
     posting_ok = (
         raw.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
@@ -252,14 +257,25 @@ def simhash_near_dup_pairs(
     on the XOR.  One band equi-join — never globally quadratic — and
     every step (band extraction, xor, bit_count) is a built-in.
     """
-    assert max_hamming < bands, "banding is only lossless when max_hamming < bands"
+    if not max_hamming < bands:
+        raise ValueError(
+            "banding is only lossless when max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if not 0 < bands <= SIMHASH_BITS:
+        raise ValueError(f"bands must be in 1..{SIMHASH_BITS}")
     s = simhash(df, id_col, text_col)
-    width = SIMHASH_BITS // bands + (1 if SIMHASH_BITS % bands else 0)
+    # Band b covers bits [b*60//bands, (b+1)*60//bands): an exact
+    # partition of the 60 fingerprint bits.  A fixed ceil-width slicing
+    # would give some band counts a constant-zero trailing band (bits
+    # past 59) shared by EVERY document — the band join would silently
+    # go globally quadratic.
+    bounds = [b * SIMHASH_BITS // bands for b in range(bands + 1)]
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            F.shiftright(F.col("simhash"), bounds[b])
+            .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
             .alias("key"),
         )
         for b in range(bands)

@@ -124,7 +124,12 @@ def lsh_bucket(
     """Random-hyperplane signature as one integer bucket, computed
     entirely with built-in columnar expressions (zip_with + aggregate
     dot products against literal plane arrays — whole-stage codegen,
-    no Python, no shuffle, no driver action at plan time)."""
+    no Python, no shuffle, no driver action at plan time).
+
+    A wrong caller-supplied ``dim`` is a hard runtime error, not a
+    silent degradation: zip_with null-pads mismatched lengths, the dot
+    products go NULL, and every vector would land in bucket 0 —
+    degenerating the bucketed joins to a global cross product."""
     v = vec_col.cast("array<double>")
     bucket: Column = F.lit(0).cast("long")
     for j in range(n_planes):
@@ -135,7 +140,14 @@ def lsh_bucket(
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+    return F.when(F.size(v) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket: dim={dim} but vector has length "),
+                F.size(v).cast("string"),
+            )
+        ).cast("long")
+    )
 
 
 def lsh_signatures(

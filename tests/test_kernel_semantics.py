@@ -188,3 +188,22 @@ def test_resolve_pointer_and_offending_value():
     assert not found and sub == {"b/c": "x"}
     assert offending_value_json(doc, "/a/1/b~1c") == '"x"'
     assert len(offending_value_json(doc, "/long")) == 256
+
+
+def test_foreign_parsed_types_fall_back_to_object():
+    """validate_value accepts any user-parsed tree: types outside the
+    json.loads vocabulary (Decimal, OrderedDict, tuples) judge as
+    objects instead of raising (pre-dispatch-map behavior)."""
+    from collections import OrderedDict
+    from decimal import Decimal
+
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.kernel.validator import validate_value
+
+    g = compile_schema_text(
+        "$schema $start\n    $type\n        $object\n    $properties\n"
+        '        $property-name "k"\n        $property-schema $number\n'
+    )
+    assert validate_value(g, OrderedDict({"k": 1})) == []
+    viols = validate_value(g, {"k": Decimal("1")})
+    assert viols and viols[0][1] == "NOT_ONE_OF_OPTIONS"

@@ -411,3 +411,27 @@ def test_resize_media_stub_and_determinism(spark):
     assert all(c[m] != a[m][3] for m in c)
     with pytest.raises(Exception, match="NotImplementedError|real image resizing"):
         resize_media(media, decoder="real").collect()
+
+
+def test_simhash_band_partition_has_no_constant_band(spark):
+    """Band counts that don't divide 60 must still partition bits
+    exactly (a constant-zero trailing band would make every document
+    pair a candidate — globally quadratic)."""
+    from medea_spark.pipeline import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "eta theta iota")],
+        ["doc_id", "text"],
+    )
+    # bands=13 was the degenerate case with ceil-width slicing
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=2, bands=13)
+    assert pairs.count() == 0  # unrelated docs must NOT all collide
+    with pytest.raises(ValueError, match="lossless"):
+        simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=5, bands=4)
+
+
+def test_lsh_bucket_rejects_wrong_dim(vecs):
+    from medea_spark.pipeline import lsh_signatures
+
+    with pytest.raises(Exception, match="lsh_bucket: dim=8 but vector has length"):
+        lsh_signatures(vecs.limit(3), n_planes=2, dim=8).collect()
