@@ -224,6 +224,62 @@ def q_dup_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uniqueness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row uniqueness summary (C10): totals, distinct keys,
+    duplicate keys, surplus rows a dedup would drop."""
+    from medea_spark.checks import uniqueness_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return uniqueness_report(ev, ["user_id", "event_type"])
+
+
+_STREAM_INPUT_PATH = "/tmp/medea_oracle/stream_input"
+
+
+def q_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end with a hard gate: the mutated
+    events table is replayed as a bounded file stream (availableNow,
+    2 files per micro-batch), validated with the kernel UDF inside the
+    streaming plan, aggregated into the watermarked per-minute violation
+    census (complete mode), and the FINAL result must equal the batch
+    SQL census DuckDB computes from the same rows."""
+    import uuid
+
+    from medea_spark.streaming import validate_stream, windowed_violation_counts
+
+    # Watermarks require TIMESTAMP (the parquet column is NTZ; session
+    # timezone is UTC so the cast is value-preserving).
+    prepared = _events_with_content(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "content"
+    )
+    prepared.repartition(8).write.mode("overwrite").parquet(_STREAM_INPUT_PATH)
+    stream = (
+        spark.readStream.schema(prepared.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(_STREAM_INPUT_PATH)
+    )
+    validated = validate_stream(stream, _events_graph())
+    census = windowed_violation_counts(validated, ts_col="ts", window="1 minute")
+    name = f"stream_census_{uuid.uuid4().hex[:8]}"
+    q = (
+        census.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").alias("minute_start"),
+            "failed_constraint",
+            "cnt",
+        )
+        .orderBy("minute_start", "failed_constraint")
+    )
+
+
 def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential integrity via broadcast anti-join (C11)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -833,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "medea_validation_summary": q_medea_validation_summary,
         "colstats_lineitem": q_colstats_lineitem,
         "dup_keys_events": q_dup_keys_events,
+        "uniqueness_events": q_uniqueness_events,
+        "stream_census": q_stream_census,
         "ri_orphans": q_ri_orphans,
         "hist_lang_size": q_hist_lang_size,
         "drift_chi2": q_drift_chi2,
@@ -950,6 +1008,27 @@ def oracle_sql() -> dict[str, str]:
         select user_id, event_type, count(*) as dup_count
         from events group by user_id, event_type having count(*) > 1
         order by user_id, event_type
+        """,
+        "uniqueness_events": """
+        with dups as (
+            select user_id, event_type, count(*) as c
+            from events group by 1, 2 having count(*) > 1
+        )
+        select (select count(*) from events) as total_rows,
+               (select count(*) from (select distinct user_id, event_type from events)) as distinct_keys,
+               cast(coalesce((select count(*) from dups), 0) as bigint) as duplicate_keys,
+               cast(coalesce((select sum(c - 1) from dups), 0) as bigint) as surplus_rows
+        """,
+        "stream_census": f"""
+        with mutated as (
+            select event_id, ts, ({_ORACLE_CONTENT}) as content from events
+        ), judged as (
+            select ts, ({_ORACLE_CONSTRAINT}) as failed_constraint from mutated
+        )
+        select date_trunc('minute', ts) as minute_start,
+               failed_constraint, count(*) as cnt
+        from judged where failed_constraint is not null
+        group by 1, 2 order by minute_start, failed_constraint
         """,
         "ri_orphans": """
         select e.user_id as custkey, count(*) as orphan_rows
