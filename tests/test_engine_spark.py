@@ -211,3 +211,17 @@ def test_violations_carry_offending_values_in_dev_mode(spark):
     # default: no offending_value column at all
     default_run = validate_table(df, corpus_schema_graph(), num_partitions=2)
     assert "offending_value" not in default_run.violations.columns
+
+
+def test_ensure_kernel_parallelism(spark):
+    """No-op when the scan already has enough splits; repartitions tiny
+    inputs so a CPU-bound kernel stage can use every core."""
+    from medea_spark.engine import ensure_kernel_parallelism
+
+    small = spark.range(100).coalesce(1)
+    widened = ensure_kernel_parallelism(small, min_partitions=8)
+    assert widened.rdd.getNumPartitions() == 8
+    assert widened.count() == 100
+    wide = spark.range(100, numPartitions=16)
+    same = ensure_kernel_parallelism(wide, min_partitions=8)
+    assert same.rdd.getNumPartitions() == 16  # untouched — no shuffle added

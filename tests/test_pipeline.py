@@ -435,3 +435,16 @@ def test_lsh_bucket_rejects_wrong_dim(vecs):
 
     with pytest.raises(Exception, match="lsh_bucket: dim=8 but vector has length"):
         lsh_signatures(vecs.limit(3), n_planes=2, dim=8).collect()
+
+
+def test_ivf_sampled_fit(vecs):
+    """The 100 TB path: fit the coarse quantizer on a sample, assign the
+    full corpus — index still covers every vector and probes work."""
+    from medea_spark.pipeline import build_ivf_index, ivf_ann_topk
+
+    index = build_ivf_index(vecs, nlist=4, seed=42, sample_fraction=0.3)
+    assert index.assigned.count() == vecs.count()
+    assert index.centroids.count() == 4
+    queries = vecs.filter(F.col("vec_id") < 3)
+    top = ivf_ann_topk(index, queries, k=3, n_probe=2).collect()
+    assert len(top) == 9
