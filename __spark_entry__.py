@@ -36,6 +36,7 @@ from medea_spark.pipeline import (
     exact_duplicate_groups,
     extract_features,
     lsh_ann_topk,
+    minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_duplicate_groups,
@@ -537,9 +538,14 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir).filter(
         (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 100000 < 400)
     )
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
-        "doc_a", "doc_b"
-    )
+    return ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        stage_location="/tmp/medea_oracle/jaccard_stage_word",
+    ).orderBy("doc_a", "doc_b")
 
 
 def q_jaccard_char_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,7 +563,13 @@ def q_jaccard_char_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("zzz "), F.col("text")).alias("text"),
     )
     return ngram_jaccard_pairs(
-        docs.unionByName(near), "doc_id", "text", n=5, threshold=0.6, unit="char"
+        docs.unionByName(near),
+        "doc_id",
+        "text",
+        n=5,
+        threshold=0.6,
+        unit="char",
+        stage_location="/tmp/medea_oracle/jaccard_stage_char",
     ).orderBy("doc_a", "doc_b")
 
 
@@ -804,6 +816,99 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(index, queries, k=3, n_probe=3).orderBy("query_id", "rank")
 
 
+_IVF_CENTROIDS_PATH = "/tmp/medea_oracle/ivf_kmeans_centroids"
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF path under the hard gate: MLlib KMeans fits
+    the coarse quantizer (fixed seed), the fitted centroids are
+    exported to parquet, and assignment + probe + re-rank run through
+    the portable relational path (assign_cells: windowless codegen
+    argmax).  DuckDB reads the same exported centroids and reproduces
+    cell assignment, probe ranking, and the exact re-rank bit-for-bit —
+    so the quantizer users actually deploy is oracle-verified, not just
+    recall-tested."""
+    from medea_spark.pipeline import build_ivf_index, ivf_ann_topk
+    from medea_spark.pipeline.ivf import IvfIndex, assign_cells
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    fitted = build_ivf_index(vecs, nlist=8, seed=42, portable_assign=True)
+    fitted.centroids.coalesce(1).write.mode("overwrite").parquet(_IVF_CENTROIDS_PATH)
+    # Re-read the persisted centroids so Spark and the oracle derive
+    # from the identical bytes (KMeans numerics never enter the gate).
+    cents = spark.read.parquet(_IVF_CENTROIDS_PATH)
+    index = IvfIndex(
+        centroids=cents,
+        assigned=assign_cells(vecs, cents, "embedding"),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    return ivf_ann_topk(index, queries, k=3, n_probe=3).orderBy("query_id", "rank")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs — the operator a dedup user actually
+    calls.  Band keys are md5 over the concatenated md5-portable
+    min-hashes, so DuckDB rebuilds signatures, bands, and the banded
+    equi-join candidate set bit-exactly."""
+    docs = _docs_with_dups(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=8, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_STREAM_STATE_INPUT = "/tmp/medea_oracle/stream_state_input"
+
+
+def q_repo_violation_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState) under the
+    hard gate: the mutated events table is replayed as a bounded file
+    stream (availableNow), per-repo running (rows, invalid) totals are
+    maintained across micro-batches, and the FINAL state per repo must
+    equal the batch census DuckDB computes from the same rows.  The
+    update-mode memory sink keeps one row per (repo, micro-batch);
+    running totals are monotone, so the final state is the struct-max
+    row per repo."""
+    import uuid
+
+    from medea_spark.streaming import repo_violation_state, validate_stream
+
+    prepared = _events_with_content(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.lit("repo"), (F.col("event_id") % 13).cast("string")).alias("repo"),
+        "content",
+    )
+    prepared.repartition(6).write.mode("overwrite").parquet(_STREAM_STATE_INPUT)
+    stream = (
+        spark.readStream.schema(prepared.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(_STREAM_STATE_INPUT)
+    )
+    validated = validate_stream(stream, _events_graph())
+    state = repo_violation_state(validated)
+    name = f"repo_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        state.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("repo")
+        .agg(F.max(F.struct("rows_seen", "invalid_seen")).alias("m"))
+        .select(
+            "repo",
+            F.col("m.rows_seen").alias("rows_seen"),
+            F.col("m.invalid_seen").alias("invalid_seen"),
+        )
+        .orderBy("repo")
+    )
+
+
 _DEDUP_ORACLE_PATH = "/tmp/medea_oracle/dedup_validate"
 
 
@@ -913,6 +1018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "embed_near_dups": q_embed_near_dups,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "repo_violation_state": q_repo_violation_state,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
         "dedup_validate": q_dedup_validate,
     }
@@ -1322,6 +1430,99 @@ def oracle_sql() -> dict[str, str]:
         )
         select query_id, neighbor_id, rank, sim from ranked
         where rank <= 3 order by query_id, rank
+        """,
+        "ivf_kmeans_topk": f"""
+        with base as (
+            select vec_id, embedding::DOUBLE[] as v from embeddings
+        ), cent as (
+            select cluster, centroid::DOUBLE[] as centroid
+            from read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')
+        ), assigned as (
+            select vec_id, v, cluster from (
+                select b.vec_id, b.v, c.cluster,
+                       row_number() over (partition by b.vec_id order by
+                           list_dot_product(b.v, c.centroid)
+                             / (sqrt(list_dot_product(b.v, b.v))
+                                * sqrt(list_dot_product(c.centroid, c.centroid))) desc,
+                           c.cluster asc) as r
+                from base b cross join cent c
+            ) where r = 1
+        ), q as (
+            select vec_id as query_id, v as qv from base where vec_id < 5
+        ), probes as (
+            select query_id, qv, cluster from (
+                select q.query_id, q.qv, c.cluster,
+                       row_number() over (partition by q.query_id order by
+                           list_dot_product(q.qv, c.centroid)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(c.centroid, c.centroid))) desc,
+                           c.cluster asc) as pr
+                from q cross join cent c
+            ) where pr <= 3
+        ), scored as (
+            select p.query_id, a.vec_id as neighbor_id,
+                   round(list_dot_product(p.qv, a.v)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(a.v, a.v))), 6) as sim
+            from probes p join assigned a using (cluster)
+            where a.vec_id <> p.query_id
+        ), ranked as (
+            select *, row_number() over (partition by query_id
+                                         order by sim desc, neighbor_id asc) as rank
+            from scored
+        )
+        select query_id, neighbor_id, rank, sim from ranked
+        where rank <= 3 order by query_id, rank
+        """,
+        "minhash_lsh_pairs": _ORACLE_DOCS2
+        + r"""
+        , subset as (
+            select doc_id, text from docs2 where doc_id % 10 = 0
+        ), words as (
+            select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as w
+            from subset
+        ), sh as (
+            select distinct doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                         i -> array_to_string(w[i:i+2], ' '))) as shingle
+            from words
+        ), sig as (
+            select doc_id,
+                   min(cast(('0x' || substr(md5('0 ' || shingle), 1, 15)) as bigint)) as h0,
+                   min(cast(('0x' || substr(md5('1 ' || shingle), 1, 15)) as bigint)) as h1,
+                   min(cast(('0x' || substr(md5('2 ' || shingle), 1, 15)) as bigint)) as h2,
+                   min(cast(('0x' || substr(md5('3 ' || shingle), 1, 15)) as bigint)) as h3,
+                   min(cast(('0x' || substr(md5('4 ' || shingle), 1, 15)) as bigint)) as h4,
+                   min(cast(('0x' || substr(md5('5 ' || shingle), 1, 15)) as bigint)) as h5,
+                   min(cast(('0x' || substr(md5('6 ' || shingle), 1, 15)) as bigint)) as h6,
+                   min(cast(('0x' || substr(md5('7 ' || shingle), 1, 15)) as bigint)) as h7
+            from sh group by doc_id
+        ), banded as (
+            select doc_id, 0 as band,
+                   md5(cast(h0 as varchar) || '_' || cast(h1 as varchar)) as key from sig
+            union all
+            select doc_id, 1,
+                   md5(cast(h2 as varchar) || '_' || cast(h3 as varchar)) from sig
+            union all
+            select doc_id, 2,
+                   md5(cast(h4 as varchar) || '_' || cast(h5 as varchar)) from sig
+            union all
+            select doc_id, 3,
+                   md5(cast(h6 as varchar) || '_' || cast(h7 as varchar)) from sig
+        )
+        select distinct x.doc_id as doc_a, y.doc_id as doc_b
+        from banded x join banded y using (band, key)
+        where x.doc_id < y.doc_id
+        order by doc_a, doc_b
+        """,
+        "repo_violation_state": _ORACLE_EVENTS_CTE
+        + """
+        select 'repo' || cast(event_id % 13 as varchar) as repo,
+               count(*) as rows_seen,
+               cast(sum(case when failed_constraint is null then 0 else 1 end)
+                    as bigint) as invalid_seen
+        from judged
+        group by 1 order by repo
         """,
         # The corpus is engine-generated, so the Spark query round-trips
         # it (with ground-truth verdict columns and engine-assigned

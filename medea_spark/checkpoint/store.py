@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from medea_spark.compiler.analyzer import SchemaGraph
-from medea_spark.engine.partitioning import PART_ID
+from medea_spark.engine.partitioning import PART_ID, SALT_ID
 from medea_spark.engine.validate import ValidationRun, validate_table
 
 CHECKPOINT_SCHEMA = T.StructType(
@@ -175,6 +175,20 @@ def run_validation_with_checkpoints(
         # re-validation in that case — it has to see the new input).
         import hashlib
 
+        if not input_fingerprint:
+            # Without a fingerprint the stage is keyed by run_id alone
+            # and done_part_ids skips the input-lineage filter — resuming
+            # the same run_id after the input changed would silently
+            # reuse stale staged rows AND skip checkpointed parts.
+            import warnings
+
+            warnings.warn(
+                "stage_location set without input_fingerprint: resuming this "
+                "run_id after the input changes will reuse stale staged rows. "
+                "Pass input_fingerprint (e.g. an Iceberg snapshot id) for "
+                "safe stage+resume.",
+                stacklevel=2,
+            )
         stage_key = run_id
         if input_fingerprint:
             stage_key += "-" + hashlib.sha256(input_fingerprint.encode()).hexdigest()[:8]
@@ -189,8 +203,12 @@ def run_validation_with_checkpoints(
             # shuffle exactly once for the whole run (instead of once
             # per wave), each partition directory gets one coherent
             # file set, and every wave then reads its pruned slice with
-            # no further exchange.
-            base.repartition(num_partitions, F.col(PART_ID)).write.mode(
+            # no further exchange.  SALT_ID participates in the exchange
+            # so a skewed monorepo's hot partition spreads over multiple
+            # write tasks (files still land under part_id=N via
+            # partitionBy) — without it the stage write would recreate
+            # the exact straggler the salting exists to prevent.
+            base.repartition(num_partitions, F.col(PART_ID), F.col(SALT_ID)).write.mode(
                 "overwrite"
             ).partitionBy(PART_ID).parquet(stage_path)
         base = spark.read.parquet(stage_path)

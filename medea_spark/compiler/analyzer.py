@@ -97,7 +97,23 @@ class CompiledSchema:
     required_keys: tuple[str, ...] = ()  # prop_order minus optionals
 
 
-SchemaGraph = dict[str, CompiledSchema]
+class SchemaGraph(dict):
+    """``dict[str, CompiledSchema]`` plus a cache slot for the kernel's
+    pointer-linked runtime view (built lazily by
+    ``medea_spark.kernel.validator.link_graph`` — the walk dispatches on
+    resolved CompiledSchema pointers instead of per-reference dict
+    lookups).  Plain dicts remain accepted everywhere a SchemaGraph is;
+    they just relink per validate call instead of caching."""
+
+    __slots__ = ("_linked_root",)
+
+    def __reduce__(self):
+        # Drop the linked cache when pickling: the validation UDF ships
+        # the graph to executors inside its closure, and each worker
+        # relinks once (lazily) instead of paying for a serialized
+        # object graph twice the size.
+        return (SchemaGraph, (dict(self),))
+
 
 START = "$start"
 
@@ -267,7 +283,7 @@ def _check_acyclic(graph: SchemaGraph) -> None:
 
 def compile_schemata(specs: list[SchemaSpec]) -> SchemaGraph:
     """Reference parity: Analysis.hs:123-136 compileSchemata."""
-    graph: SchemaGraph = {}
+    graph = SchemaGraph()
     for spec in specs:
         if spec.name in graph:
             raise DuplicateSchemaNameError(f"schema {spec.name!r} defined twice")

@@ -55,6 +55,33 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(target)
 
 
+def _estimate_scan_splits(df: DataFrame) -> int | None:
+    """Estimate the file-scan split count from file metadata alone —
+    Spark's own FilePartition math (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/defaultParallelism)); splits packed
+    greedily to that size) — without converting the plan to an RDD.
+    Returns None for non-file-backed plans (caller falls back)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    jvm = spark._jvm
+    as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    max_pb = as_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = as_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen() + open_cost
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    max_split = max(1, min(max_pb, max(open_cost, total // parallelism)))
+    return max(1, -(-total // max_split))  # ceil div
+
+
 def ensure_kernel_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ONLY when the scan produced fewer splits than cores.
 
@@ -65,10 +92,18 @@ def ensure_kernel_parallelism(df: DataFrame, min_partitions: int | None = None) 
     splits and this is a no-op (the content bytes never shuffle on the
     big-data path); below the threshold the repartition exchanges a few
     megabytes to light up every core.
+
+    The split count comes from file metadata (one FS stat per file),
+    not ``df.rdd.getNumPartitions()`` — the RDD conversion forced a
+    full plan translation per call when pipelines compose this helper.
+    Non-file sources keep the RDD fallback.
     """
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_partitions:
+    splits = _estimate_scan_splits(df)
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits >= min_partitions:
         return df
     return df.repartition(min_partitions)

@@ -4,11 +4,16 @@ Reference parity: src/Data/Medea.hs:225-232 (validate) and its helper
 state machine :260-415 (checkTypes / checkAny / checkPrim /
 checkArray / checkObject / checkCustoms).
 
-Evaluation model: a recursive walk threading ``(candidate node set,
-parent schema name)``.  Candidate sets are *sorted tuples* of nodes so
-alternation order matches the reference's ``NESet`` order:
+Evaluation model: a recursive walk over a *pointer-linked* runtime view
+of the compiled graph (:func:`link_graph`): every custom-node reference
+is resolved to a direct ``_Linked`` schema object at link time, so the
+hot path never touches the name→schema dict (the per-reference
+``graph.get`` + tuple unpacking was ~75% of validate_document before
+this).  A candidate set is a precomputed triple ``(has_any, prim_mask,
+customs)`` — alternation order matches the reference's ``NESet`` order:
 AnyNode < PrimitiveNode < CustomNode, primitives in JSONType order,
-custom nodes by name (Analysis.hs:84-88).
+custom nodes by name (Analysis.hs:84-88) — the linker preserves the
+sorted ``types_as`` order of the compiled nodes.
 
 Semantics preserved (SURVEY.md §2.B fine print):
 
@@ -38,9 +43,9 @@ Constraint codes mirror the ValidationError constructors
 from __future__ import annotations
 
 import json
-from typing import Any
+from typing import Any, Mapping
 
-from medea_spark.compiler.analyzer import ANY_NODE, Node, SchemaGraph
+from medea_spark.compiler.analyzer import CompiledSchema
 from medea_spark.compiler.tokens import (
     JSON_ARRAY,
     JSON_BOOLEAN,
@@ -62,7 +67,6 @@ IMPLEMENTATION_ERROR = "IMPLEMENTATION_ERROR"
 Violation = tuple[str, str, str]  # (json_pointer, failed_constraint, schema)
 
 _MAX_DEPTH = 256
-_START_NODES: tuple[Node, ...] = ((2, 0, "$start"),)
 
 
 def _reject_constant(_: str) -> Any:
@@ -70,10 +74,19 @@ def _reject_constant(_: str) -> Any:
     raise ValueError("non-standard JSON constant")
 
 
+# json.loads(s, parse_constant=...) constructs a fresh JSONDecoder per
+# call (~10% of end-to-end kernel time); decode through one shared
+# instance instead.  JSONDecoder is stateless after construction, so
+# sharing is thread-safe.
+_DECODER_DECODE = json.JSONDecoder(parse_constant=_reject_constant).decode
+
+
 # json.loads yields exactly these concrete types, so an exact-type map
 # is both correct and the fastest dispatch (one dict hit vs a branch
-# cascade — _type_of runs once per JSON node, the hottest line of the
-# kernel).
+# cascade — it runs once per JSON node, the hottest line of the
+# kernel).  Foreign types (a caller passing Decimal/OrderedDict/tuple
+# through the public validate_value) fall back to JSON_OBJECT — never a
+# KeyError escaping the kernel (reference parity: JSONType.hs:29-36).
 _TYPE_MAP = {
     type(None): JSON_NULL,
     bool: JSON_BOOLEAN,
@@ -85,15 +98,138 @@ _TYPE_MAP = {
 }
 
 
-def _type_of(v: Any) -> int:
-    """Reference parity: JSONType.hs:29-36 typeOf.  Foreign types (a
-    caller passing Decimal/OrderedDict/tuple through the public
-    validate_value) fall back to JSON_OBJECT as before the dispatch-map
-    rewrite — never a KeyError escaping the kernel."""
+# --- linked runtime view ---------------------------------------------------
+
+# Child-node encoding after linking: ``None`` = AnyNode, ``int`` = a
+# PrimitiveNode's JSON type, ``_Linked`` = a resolved CustomNode.
+# Candidate sets become ``(has_any, prim_mask, customs)`` where
+# prim_mask is a 6-bit membership mask over the JSON types and customs
+# is a name-ordered tuple of _Linked schemas.
+
+# Identity marker for a dangling reference surviving into the walk —
+# unreachable after semantic analysis (Medea.hs:409-415) but guarded,
+# like the reference (B14): entering it reports IMPLEMENTATION_ERROR.
+_BROKEN_CAND = (False, 0, ())
+
+_MISSING = object()  # props.get sentinel (None legitimately means AnyNode)
+
+
+class _Linked:
+    """Pointer-resolved twin of CompiledSchema — plain slots the walk
+    reads directly; no dict lookups, no tuple unpacking."""
+
+    __slots__ = (
+        "name",
+        "cand",
+        "string_val_set",
+        "min_array_len",
+        "max_array_len",
+        "array_kind",
+        "list_node",
+        "tuple_nodes",
+        "props",
+        "required_keys",
+        "additional_props",
+        "additional_node",
+        "trivial_object",  # no props/required, additional=Any: objects pass
+    )
+
+
+def _broken(name: str) -> _Linked:
+    lk = _Linked()
+    lk.name = name
+    lk.cand = _BROKEN_CAND
+    lk.string_val_set = frozenset()
+    lk.min_array_len = lk.max_array_len = None
+    lk.array_kind = None
+    lk.list_node = lk.tuple_nodes = None
+    lk.props = {}
+    lk.required_keys = ()
+    lk.additional_props = True
+    lk.additional_node = None
+    lk.trivial_object = True
+    return lk
+
+
+def link_graph(graph: Mapping[str, CompiledSchema]) -> tuple:
+    """Compile-once linking pass: name references → direct pointers.
+
+    Returns the root candidate set ``{CustomNode $start}``
+    (Medea.hs:230-232).  Property/list/tuple references may legally be
+    cyclic (only the types-as relation is acyclic), so linking is
+    two-phase: allocate every _Linked first, then fill the slots.
+    """
+    pool: dict[str, _Linked] = {name: _Linked() for name in graph}
+
+    def resolve(node) -> None | int | _Linked:
+        kind = node[0]
+        if kind == 0:
+            return None
+        if kind == 1:
+            return node[1]
+        hit = pool.get(node[2])
+        if hit is None:
+            hit = pool[node[2]] = _broken(node[2])
+        return hit
+
+    for name, scm in graph.items():
+        lk = pool[name]
+        lk.name = name
+        prim_mask = 0
+        customs = []
+        has_any = False
+        for node in scm.types_as:  # already in NESet order
+            kind = node[0]
+            if kind == 0:
+                has_any = True
+            elif kind == 1:
+                prim_mask |= 1 << node[1]
+            else:
+                customs.append(resolve(node))
+        lk.cand = (has_any, prim_mask, tuple(customs))
+        lk.string_val_set = scm.string_val_set
+        lk.min_array_len = scm.min_array_len
+        lk.max_array_len = scm.max_array_len
+        lk.array_kind = scm.array_kind
+        lk.list_node = resolve(scm.list_node) if scm.list_node is not None else None
+        lk.tuple_nodes = (
+            tuple(resolve(n) for n in scm.tuple_nodes)
+            if scm.tuple_nodes is not None
+            else None
+        )
+        lk.props = {k: resolve(v[0]) for k, v in scm.props.items()}
+        lk.required_keys = scm.required_keys
+        lk.additional_props = scm.additional_props
+        lk.additional_node = resolve(scm.additional_prop_schema)
+        lk.trivial_object = (
+            not lk.props
+            and not lk.required_keys
+            and lk.additional_props
+            and lk.additional_node is None
+        )
+    start = pool.get("$start")
+    if start is None:
+        start = _broken("$start")
+    return (False, 0, (start,))
+
+
+def _root_cand(graph) -> tuple:
+    """Linked root for ``graph``, cached on the SchemaGraph instance
+    (plain dicts can't carry attributes and relink per call — fine for
+    one-off test graphs, never on the compile path)."""
     try:
-        return _TYPE_MAP[type(v)]
-    except KeyError:
-        return JSON_OBJECT
+        return graph._linked_root
+    except AttributeError:
+        pass
+    root = link_graph(graph)
+    try:
+        graph._linked_root = root
+    except (AttributeError, TypeError):
+        pass
+    return root
+
+
+# --- the walk --------------------------------------------------------------
 
 
 def _escape_pointer_token(token: str) -> str:
@@ -110,43 +246,56 @@ def _prefixed(sub: list[Violation], token: str) -> list[Violation]:
 
 
 def _check_types(
-    graph: SchemaGraph,
     v: Any,
-    nodes: tuple[Node, ...],
-    parent: str | None,
+    cand: tuple,
+    parent: _Linked | None,
     depth: int,
     short_circuit: bool,
-    owner: str = "",
 ) -> list[Violation]:
     """Returns [] on success; violations carry pointers relative to this
-    node (first error only when ``short_circuit``).
-
-    ``owner`` is reporting-only: the schema that *declared* the
-    constraint being checked (the reference's NotOneOfOptions carries no
-    schema name; our violation rows attribute the specifying schema).
-    """
+    node (first error only when ``short_circuit``).  Attribution: the
+    schema that declared the constraint (the reference's
+    NotOneOfOptions carries no schema name; our violation rows
+    attribute the specifying schema)."""
     if depth > _MAX_DEPTH:
-        return [("", MAX_DEPTH_EXCEEDED, parent or owner)]
+        return [("", MAX_DEPTH_EXCEEDED, parent.name if parent else "")]
+    has_any, prim_mask, customs = cand
     # checkAny (Medea.hs:302-307): AnyNode sorts first.
-    if nodes[0] == ANY_NODE:
+    if has_any:
         return []
-    tn = _type_of(v)
+    tn = _TYPE_MAP.get(type(v), JSON_OBJECT)
     prim_errs: list[Violation] | None = None
-    if (1, tn, "") in nodes:
-        prim_errs = _check_prim(graph, v, tn, parent, depth, short_circuit)
-        if not prim_errs:
+    if prim_mask >> tn & 1:
+        # checkPrim inlined (Medea.hs:310-336) — type membership just
+        # confirmed; the scalar cases return without a function call.
+        if tn <= JSON_NUMBER:  # null / boolean / number: nothing further
             return []
+        if tn == JSON_STRING:
+            if parent is None:
+                return []
+            svs = parent.string_val_set
+            if not svs or v in svs:
+                return []
+            prim_errs = [("", NOT_ONE_OF_OPTIONS, parent.name)]
+        elif parent is None:
+            # Bare $array / $object: children validate against AnyNode
+            # (Medea.hs:329-336) — trivially valid, skip the walk.
+            return []
+        elif tn == JSON_ARRAY:
+            prim_errs = _check_array(v, parent, depth, short_circuit)
+            if not prim_errs:
+                return []
+        else:
+            prim_errs = _check_object(v, parent, depth, short_circuit)
+            if not prim_errs:
+                return []
     # checkCustoms (Medea.hs:395-407): customs in sorted name order.
     first_custom_errs: list[Violation] | None = None
-    for node in nodes:
-        if node[0] != 2:
-            continue
-        scm = graph.get(node[2])
-        if scm is None:  # unreachable post-analysis (Medea.hs:409-415)
-            return [("", IMPLEMENTATION_ERROR, node[2])]
-        sub = _check_types(
-            graph, v, scm.types_as, node[2], depth + 1, short_circuit, node[2]
-        )
+    for scm in customs:
+        sc = scm.cand
+        if sc is _BROKEN_CAND:  # unreachable post-analysis (Medea.hs:409-415)
+            return [("", IMPLEMENTATION_ERROR, scm.name)]
+        sub = _check_types(v, sc, scm, depth + 1, short_circuit)
         if not sub:
             return []
         if first_custom_errs is None:
@@ -159,40 +308,12 @@ def _check_types(
         return prim_errs
     if first_custom_errs is not None:
         return first_custom_errs
-    return [("", NOT_ONE_OF_OPTIONS, parent or owner)]
-
-
-def _check_prim(
-    graph: SchemaGraph,
-    v: Any,
-    tn: int,
-    parent: str | None,
-    depth: int,
-    short_circuit: bool,
-) -> list[Violation]:
-    """Reference parity: Medea.hs:310-336 checkPrim (type membership was
-    already confirmed by the caller)."""
-    if tn <= JSON_NUMBER:  # null / boolean / number need no further checks
-        return []
-    if tn == JSON_STRING:
-        if parent is not None:
-            scm = graph[parent]
-            if scm.string_val_set and v not in scm.string_val_set:
-                return [("", NOT_ONE_OF_OPTIONS, parent)]
-        return []
-    if parent is None:
-        # Bare $array / $object: children validate against AnyNode
-        # (Medea.hs:329-336) — trivially valid, skip the walk.
-        return []
-    if tn == JSON_ARRAY:
-        return _check_array(graph, v, parent, depth, short_circuit)
-    return _check_object(graph, v, parent, depth, short_circuit)
+    return [("", NOT_ONE_OF_OPTIONS, parent.name if parent else "")]
 
 
 def _check_child(
-    graph: SchemaGraph,
     val: Any,
-    node: Node,
+    node: None | int | _Linked,
     attribution: str,
     depth: int,
     short_circuit: bool,
@@ -201,59 +322,56 @@ def _check_child(
     (Medea.hs:353-359, 368-370): AnyNode accepts; a primitive node is a
     bare type check (the child's own children pair with AnyNode); a
     custom node enters that schema."""
-    kind = node[0]
-    if kind == 0:
+    if node is None:
         return []
-    if kind == 1:
-        if _type_of(val) == node[1]:
+    if node.__class__ is int:
+        if _TYPE_MAP.get(type(val), JSON_OBJECT) == node:
             return []
         return [("", NOT_ONE_OF_OPTIONS, attribution)]
-    name = node[2]
-    scm = graph.get(name)
-    if scm is None:
-        return [("", IMPLEMENTATION_ERROR, name)]
-    return _check_types(graph, val, scm.types_as, name, depth + 1, short_circuit, name)
+    cand = node.cand
+    if cand is _BROKEN_CAND:
+        return [("", IMPLEMENTATION_ERROR, node.name)]
+    return _check_types(val, cand, node, depth + 1, short_circuit)
 
 
 def _check_array(
-    graph: SchemaGraph,
     arr: list,
-    parent: str,
+    parent: _Linked,
     depth: int,
     short_circuit: bool,
 ) -> list[Violation]:
     """Reference parity: Medea.hs:339-359 checkArray."""
-    scm = graph[parent]
     n = len(arr)
-    lo = scm.min_array_len
-    hi = scm.max_array_len
+    lo = parent.min_array_len
+    hi = parent.max_array_len
     if (lo is not None and n < lo) or (hi is not None and n > hi):
-        return [("", OUT_OF_BOUNDS_ARRAY_LENGTH, parent)]
-    kind = scm.array_kind
+        return [("", OUT_OF_BOUNDS_ARRAY_LENGTH, parent.name)]
+    kind = parent.array_kind
     if kind is None:
         return []  # elements pair with AnyNode — trivially valid
     errs: list[Violation] = []
     if kind == "list":
-        node = scm.list_node
-        if node == ANY_NODE:
+        node = parent.list_node
+        if node is None:
             return []
-        if node[0] == 1:  # homogeneous primitive list: flat type scan
-            want = node[1]
+        if node.__class__ is int:  # homogeneous primitive list: flat type scan
+            tm_get = _TYPE_MAP.get
+            pname = parent.name
             for i, item in enumerate(arr):
-                if _type_of(item) != want:
-                    errs.append((f"/{i}", NOT_ONE_OF_OPTIONS, parent))
+                if tm_get(type(item), JSON_OBJECT) != node:
+                    errs.append((f"/{i}", NOT_ONE_OF_OPTIONS, pname))
                     if short_circuit:
                         return errs
             return errs
         for i, item in enumerate(arr):
-            sub = _check_child(graph, item, node, parent, depth, short_circuit)
+            sub = _check_child(item, node, parent.name, depth, short_circuit)
             if sub:
                 errs.extend(_prefixed(sub, str(i)))
                 if short_circuit:
                     return errs
     else:  # tuple — bounds already enforce the exact length
-        for i, (item, node) in enumerate(zip(arr, scm.tuple_nodes)):
-            sub = _check_child(graph, item, node, parent, depth, short_circuit)
+        for i, (item, node) in enumerate(zip(arr, parent.tuple_nodes)):
+            sub = _check_child(item, node, parent.name, depth, short_circuit)
             if sub:
                 errs.extend(_prefixed(sub, str(i)))
                 if short_circuit:
@@ -262,63 +380,69 @@ def _check_array(
 
 
 def _check_object(
-    graph: SchemaGraph,
     obj: dict,
-    parent: str,
+    parent: _Linked,
     depth: int,
     short_circuit: bool,
 ) -> list[Violation]:
     """Reference parity: Medea.hs:362-391 — banned-additional first (all
     keys), then required-missing, then value recursion."""
-    scm = graph[parent]
-    props = scm.props
+    if parent.trivial_object:
+        # No property specs, no required keys, additional allowed with
+        # AnyNode: every key pairs with AnyNode — nothing to walk.
+        return []
+    props = parent.props
     errs: list[Violation] = []
-    pairing: list[tuple[str, Any, Node]] | None = None
-    additional_node = scm.additional_prop_schema
-    allow_additional = scm.additional_props
+    # Deferred work discovered during the key scan, emitted AFTER the
+    # required-missing pass (error-order parity).  node=None marks a
+    # primitive type check that already failed — checking prims eagerly
+    # (while deferring only the error emission) skips a second pass and
+    # a pairing append for every passing primitive property, the
+    # kernel's most common case.
+    pairing: list[tuple[str, Any, _Linked | None]] | None = None
+    additional_node = parent.additional_node
+    allow_additional = parent.additional_props
+    tm_get = _TYPE_MAP.get
     for key, val in obj.items():
-        hit = props.get(key)
-        if hit is not None:
-            node = hit[0]
-        elif allow_additional:
-            node = additional_node
-        else:
-            errs.append(
-                (f"/{_escape_pointer_token(key)}", ADDITIONAL_PROP_FOUND_BUT_BANNED, parent)
-            )
-            if short_circuit:
-                return errs
+        hit = props.get(key, _MISSING)
+        if hit is _MISSING:
+            if allow_additional:
+                hit = additional_node
+            else:
+                errs.append(
+                    (f"/{_escape_pointer_token(key)}", ADDITIONAL_PROP_FOUND_BUT_BANNED, parent.name)
+                )
+                if short_circuit:
+                    return errs
+                continue
+        if hit is None:  # AnyNode children need no check at all
             continue
-        if node[0] != 0:  # AnyNode children need no check at all
-            if pairing is None:
-                pairing = []
-            pairing.append((key, val, node))
-    for key in scm.required_keys:
+        if hit.__class__ is int:
+            if tm_get(type(val), JSON_OBJECT) == hit:
+                continue
+            hit = None  # failed-prim marker
+        if pairing is None:
+            pairing = []
+        pairing.append((key, val, hit))
+    for key in parent.required_keys:
         if key not in obj:
             errs.append(
-                (f"/{_escape_pointer_token(key)}", REQUIRED_PROPERTY_IS_MISSING, parent)
+                (f"/{_escape_pointer_token(key)}", REQUIRED_PROPERTY_IS_MISSING, parent.name)
             )
             if short_circuit:
                 return errs
     if pairing:
         # _check_child inlined: one call per property is the kernel's
-        # hottest call site, and the primitive-node case is a bare
-        # type-equality check.
-        tm_get = _TYPE_MAP.get
+        # hottest call site.
         for key, val, node in pairing:
-            if node[0] == 1:
-                if tm_get(type(val), JSON_OBJECT) == node[1]:
-                    continue
-                sub: list[Violation] = [("", NOT_ONE_OF_OPTIONS, parent)]
+            if node is None:
+                sub: list[Violation] = [("", NOT_ONE_OF_OPTIONS, parent.name)]
             else:
-                name = node[2]
-                scm2 = graph.get(name)
-                if scm2 is None:
-                    sub = [("", IMPLEMENTATION_ERROR, name)]
+                cand = node.cand
+                if cand is _BROKEN_CAND:
+                    sub = [("", IMPLEMENTATION_ERROR, node.name)]
                 else:
-                    sub = _check_types(
-                        graph, val, scm2.types_as, name, depth + 1, short_circuit, name
-                    )
+                    sub = _check_types(val, cand, node, depth + 1, short_circuit)
             if sub:
                 errs.extend(_prefixed(sub, _escape_pointer_token(key)))
                 if short_circuit:
@@ -326,8 +450,11 @@ def _check_object(
     return errs
 
 
+# --- public API ------------------------------------------------------------
+
+
 def validate_value(
-    graph: SchemaGraph, value: Any, collect_all: bool = False
+    graph: Mapping[str, CompiledSchema], value: Any, collect_all: bool = False
 ) -> list[Violation]:
     """Validate an already-parsed JSON value; [] means valid.
 
@@ -335,7 +462,7 @@ def validate_value(
     (reference: Medea.hs:230-232).
     """
     try:
-        return _check_types(graph, value, _START_NODES, None, 0, not collect_all)
+        return _check_types(value, _root_cand(graph), None, 0, not collect_all)
     except RecursionError:
         return [("", MAX_DEPTH_EXCEEDED, "")]
 
@@ -383,7 +510,7 @@ def offending_value_json(
 
 
 def validate_document(
-    graph: SchemaGraph, content: str | bytes, collect_all: bool = False
+    graph: Mapping[str, CompiledSchema], content: str | bytes, collect_all: bool = False
 ) -> tuple[bool, list[Violation]]:
     """Validate one JSON document (text) against a compiled schema graph.
 
@@ -392,8 +519,14 @@ def validate_document(
     Medea.hs:225-228 decodeStrict → NotJSON).
     """
     try:
-        value = json.loads(content, parse_constant=_reject_constant)
-    except (ValueError, TypeError, RecursionError):
+        if content.__class__ is not str:
+            # bytes input: same UTF-8/16/32 sniffing json.loads applies
+            # (Aeson decodeStrict parses bytes too — Medea.hs:225).
+            # strict errors: invalid UTF-8 must stay NOT_JSON, exactly
+            # like json.loads(bytes) (and Aeson decodeStrict) before.
+            content = content.decode(json.detect_encoding(content))
+        value = _DECODER_DECODE(content)
+    except (ValueError, TypeError, AttributeError, RecursionError):
         return False, [("", NOT_JSON, "")]
     violations = validate_value(graph, value, collect_all)
     return not violations, violations

@@ -13,6 +13,7 @@ from medea_spark.pipeline.dedup import (
 )
 from medea_spark.pipeline.ivf import (
     IvfIndex,
+    assign_cells,
     build_ivf_index,
     build_ivf_index_hashseed,
     ivf_ann_topk,
@@ -55,6 +56,7 @@ __all__ = [
     "extract_features",
     "resize_media",
     "IvfIndex",
+    "assign_cells",
     "build_ivf_index",
     "build_ivf_index_hashseed",
     "fingerprint",

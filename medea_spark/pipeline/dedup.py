@@ -86,6 +86,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_posting: int = 1000,
     unit: str = "word",
+    stage_location: str | None = None,
 ) -> DataFrame:
     """Document pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
@@ -94,15 +95,15 @@ def ngram_jaccard_pairs(
     quadratically and carry no dedup signal — standard posting-list
     capping).
 
-    The shingle relation feeds three plan branches (doc sizes, posting
-    filter, self-join); persisting it avoids re-running the explode per
-    branch — at scale you would materialize it to a table instead.
+    The post-cap shingle relation feeds three plan branches (doc sizes
+    + both self-join sides).  ``stage_location`` (the 100 TB path)
+    materializes it to parquet once and every branch becomes a plain
+    scan — the downstream plan collapses to scan → join → agg, with no
+    session-lifetime cache pinning memory/disk.  Without it the
+    relation is session-persisted instead (fine for exploration; the
+    cache of the full shingle explode is the thing that turns into a
+    memory/disk cliff at 100×).
     """
-    # Only the post-cap relation is persisted (three consumers: sizes +
-    # both self-join sides); `raw` is scanned twice while materializing
-    # it, which is cheaper than pinning a second cached copy of the full
-    # explode for the session.  Long-lived pipelines should materialize
-    # shingles to a table instead of relying on session caching.
     raw = shingles(df, id_col, text_col, n, unit=unit)
     posting_ok = (
         raw.groupBy("shingle")
@@ -114,7 +115,12 @@ def ngram_jaccard_pairs(
     # Jaccard numerator and denominator agree: counting capped-out hot
     # shingles in the denominator (but never the numerator) would
     # systematically underestimate similarity near the threshold.
-    sh = raw.join(posting_ok, "shingle").persist()
+    sh = raw.join(posting_ok, "shingle")
+    if stage_location is not None:
+        sh.write.mode("overwrite").parquet(stage_location)
+        sh = df.sparkSession.read.parquet(stage_location)
+    else:
+        sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("x")
@@ -198,7 +204,12 @@ def minhash_lsh_candidates(
 SIMHASH_BITS = 60  # 15 hex chars of md5 — the engine-portable hash width
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    empty_sentinel: int | None = None,
+) -> DataFrame:
     """60-bit SimHash per document, entirely with built-in columnar ops.
 
     token hash = the md5-portable 60-bit family (_md5_hash64); bit b of
@@ -206,8 +217,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (ties → 0).  Shape: one explode + one map-side-combined groupBy with
     60 sum aggregates — the same scale profile as MinHash, no Python in
     the hot path, and bit-identical in any engine with md5 (the DuckDB
-    oracle reproduces it).  Documents with no tokens produce no row
-    (same as the empty-token behavior of the classic formulation).
+    oracle reproduces it).
+
+    Empty/whitespace-only documents produce NO row by default (the
+    classic formulation has no fingerprint for a token-less doc) — a
+    row-count change versus naive expectations that downstream joins
+    must account for.  Pass ``empty_sentinel`` to instead left-join
+    back to the input and emit that fingerprint for token-less docs
+    (they then group/pair with each other, which is usually what a
+    dedup pass wants).
     """
     toks = _norm_words(F.col(text_col))
     t = (
@@ -226,12 +244,30 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sim: Column = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
         sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return votes.select("doc_id", sim.alias("simhash"))
+    out = votes.select("doc_id", sim.alias("simhash"))
+    if empty_sentinel is None:
+        return out
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("simhash"), F.lit(empty_sentinel).cast("long")).alias(
+            "simhash"
+        ),
+    )
 
 
-def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Documents sharing an identical 60-bit simhash."""
-    s = simhash(df, id_col, text_col)
+def simhash_duplicate_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    empty_sentinel: int | None = None,
+) -> DataFrame:
+    """Documents sharing an identical 60-bit simhash.
+
+    Empty/whitespace-only documents are EXCLUDED by default (they have
+    no fingerprint — see :func:`simhash`); pass ``empty_sentinel`` to
+    group them together under that fingerprint instead."""
+    s = simhash(df, id_col, text_col, empty_sentinel=empty_sentinel)
     return (
         s.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
@@ -256,6 +292,11 @@ def simhash_near_dup_pairs(
     band is untouched).  Candidates then pass an exact popcount check
     on the XOR.  One band equi-join — never globally quadratic — and
     every step (band extraction, xor, bit_count) is a built-in.
+
+    Empty/whitespace-only documents never appear in any pair (they have
+    no fingerprint — see :func:`simhash`); near-dup semantics for
+    token-less docs are undefined, so no sentinel option here — use
+    :func:`exact_duplicate_groups` for them.
     """
     if not max_hamming < bands:
         raise ValueError(

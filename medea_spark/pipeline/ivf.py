@@ -35,6 +35,41 @@ class IvfIndex:
     vec_col: str
 
 
+def assign_cells(
+    df: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Windowless max-cosine cell assignment — the 100 TB shape.
+
+    The nlist centroids collapse to ONE row holding a cluster-ascending
+    ``array<struct<cluster,centroid>>``; a broadcast cross join with
+    that single row adds the array as a column, and the argmax runs
+    inside whole-stage codegen via ``transform`` (one cosine per cell)
+    + ``array_max`` over ``struct(sim, -cluster)`` (ties → smallest
+    cluster, matching ``row_number over (sim desc, cluster asc)``).
+    No row blowup, no per-id window shuffle: the corpus is scanned once
+    and gains one int column.  Engine-portable: any SQL engine with the
+    same dot product reproduces the assignment bit-exactly.
+    """
+    cells = centroids.select(
+        F.sort_array(F.collect_list(F.struct("cluster", "centroid"))).alias("_cells")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(
+        F.transform(
+            F.col("_cells"),
+            lambda c: F.struct(
+                cosine(v, c["centroid"]).alias("sim"),
+                (-c["cluster"]).alias("negc"),
+            ),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(cells))
+        .withColumn("cluster", (-best["negc"]).cast("int"))
+        .drop("_cells")
+    )
+
+
 def build_ivf_index(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -42,15 +77,22 @@ def build_ivf_index(
     nlist: int = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
+    portable_assign: bool = False,
 ) -> IvfIndex:
     """Fit the coarse quantizer and assign every vector to a cell.
 
     At 100 TB, fit on a sample (``sample_fraction``) — k-means
     centroids converge on a tiny fraction of the corpus — then assign
-    the full corpus with the fitted model (one narrow pass).
+    the full corpus in one narrow pass: either ``model.transform``
+    (euclidean argmin, MLlib codepath) or, with ``portable_assign``,
+    the relational max-cosine argmax of :func:`assign_cells` — same
+    scan-once/no-shuffle shape, but reproducible bit-exactly by any
+    SQL engine from the exported centroids (that is what the
+    ``ivf_kmeans_topk`` DuckDB oracle does; cosine is also the right
+    cell metric when the search metric is cosine).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     featurized = df.withColumn(
         "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
@@ -61,15 +103,17 @@ def build_ivf_index(
     model = KMeans(
         k=nlist, seed=seed, featuresCol="_features", predictionCol="cluster"
     ).fit(fit_input)
-    assigned = model.transform(featurized).drop("_features")
     spark = df.sparkSession
+    # Centroids come from the driver-side model: nlist rows —
+    # broadcast-sized by construction.
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["cluster", "centroid"],
     )
-    # vector_to_array imported for API symmetry; centroids come from the
-    # driver-side model (nlist rows — broadcast-sized by construction).
-    _ = vector_to_array
+    if portable_assign:
+        assigned = assign_cells(df, centroids, vec_col)
+    else:
+        assigned = model.transform(featurized).drop("_features")
     return IvfIndex(centroids=centroids, assigned=assigned, id_col=id_col, vec_col=vec_col)
 
 
@@ -90,9 +134,9 @@ def build_ivf_index_hashseed(
     Trade-off vs :func:`build_ivf_index` (MLlib KMeans): cells do not
     adapt to density, so recall/latency balance is worse; use this
     variant for differential testing and as a cheap bootstrap, the
-    KMeans one for production indexes.  Assignment here scores
-    |corpus| x nlist rows through a per-id window; the KMeans path
-    assigns in one narrow pass."""
+    KMeans one for production indexes.  Assignment is the same
+    windowless codegen argmax both paths share (:func:`assign_cells`) —
+    one narrow pass, no |corpus|×nlist blowup, no per-id window."""
     w_cent = Window.orderBy("_hk", "_cid")
     centroids = (
         df.select(
@@ -106,16 +150,7 @@ def build_ivf_index_hashseed(
         .withColumn("cluster", F.row_number().over(w_cent) - 1)
         .select("cluster", "centroid")
     )
-    cv = F.col("centroid")
-    va = F.col(vec_col).cast("array<double>")
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster"))
-    assigned = (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("_csim", cosine(va, cv))
-        .withColumn("_r", F.row_number().over(w_assign))
-        .filter(F.col("_r") == 1)
-        .drop("_csim", "_r", "centroid")
-    )
+    assigned = assign_cells(df, centroids, vec_col)
     return IvfIndex(
         centroids=centroids, assigned=assigned, id_col=id_col, vec_col=vec_col
     )

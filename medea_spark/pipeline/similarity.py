@@ -140,13 +140,28 @@ def lsh_bucket(
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return F.when(F.size(v) == dim, bucket).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"lsh_bucket: dim={dim} but vector has length "),
-                F.size(v).cast("string"),
-            )
-        ).cast("long")
+    # NULL vectors get their own branch: size(NULL) is NULL, so the
+    # dim-check guard would fall through to raise_error with a NULL
+    # message — a confusing crash instead of a diagnostic.
+    return (
+        F.when(
+            v.isNull(),
+            F.raise_error(
+                F.lit(
+                    "lsh_bucket: NULL vector (filter NULL embeddings out "
+                    "before bucketing, or impute them)"
+                )
+            ).cast("long"),
+        )
+        .when(F.size(v) == dim, bucket)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_bucket: dim={dim} but vector has length "),
+                    F.size(v).cast("string"),
+                )
+            ).cast("long")
+        )
     )
 
 

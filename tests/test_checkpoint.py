@@ -202,3 +202,46 @@ def test_staged_resume_restages_on_input_change(spark, store, tmp_path):
         .collect()[0][0]
     )
     assert total == 500
+
+
+def test_stage_without_fingerprint_warns(spark, store, tmp_path):
+    import warnings
+
+    from medea_spark.checkpoint import run_validation_with_checkpoints
+    from medea_spark.corpus import corpus_schema_graph, generate_corpus
+
+    df = generate_corpus(spark, 120, seed=3)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        run_validation_with_checkpoints(
+            spark, df, corpus_schema_graph(), store, run_id="warnfp",
+            num_partitions=4, n_waves=2,
+            stage_location=str(tmp_path / "stage-warn"),
+        )
+    assert any("input_fingerprint" in str(w.message) for w in caught)
+
+
+def test_stage_write_exchange_includes_salt(spark, store, tmp_path):
+    """The stage-write repartition must hash on (part_id, salt_id) so a
+    skewed monorepo's rows spread over several write tasks instead of
+    funneling into one straggler."""
+    from medea_spark.checkpoint.store import run_validation_with_checkpoints
+    from medea_spark.corpus import corpus_schema_graph, generate_corpus
+    from medea_spark.engine.partitioning import with_partition_columns
+
+    df = generate_corpus(spark, 400, seed=5).withColumn(
+        "repo", F.lit("monorepo")  # single repo: all rows share part_id
+    )
+    base = with_partition_columns(df, 4, skewed_keys=["monorepo"])
+    plan = base.repartition(
+        4, F.col("part_id"), F.col("salt_id")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "salt_id" in plan  # exchange keys include the salt
+    stage = str(tmp_path / "stage-salt")
+    run_validation_with_checkpoints(
+        spark, df, corpus_schema_graph(), store, run_id="saltstage",
+        num_partitions=4, n_waves=2, skewed_keys=["monorepo"],
+        input_fingerprint="salt-test", stage_location=stage,
+    )
+    staged = spark.read.parquet(f"{stage}/run=saltstage-*")
+    assert staged.select("salt_id").distinct().count() > 1

@@ -225,3 +225,26 @@ def test_ensure_kernel_parallelism(spark):
     wide = spark.range(100, numPartitions=16)
     same = ensure_kernel_parallelism(wide, min_partitions=8)
     assert same.rdd.getNumPartitions() == 16  # untouched — no shuffle added
+
+
+def test_ensure_kernel_parallelism_uses_file_metadata(spark, tmp_path, monkeypatch):
+    """File-backed inputs must be sized from file metadata — the
+    plan→RDD conversion (df.rdd) must not run on the default path."""
+    from pyspark.sql import DataFrame
+
+    from medea_spark.engine import ensure_kernel_parallelism
+
+    p = str(tmp_path / "tiny_parquet")
+    spark.range(1000).selectExpr("id", "repeat('x', 100) as pad").coalesce(
+        1
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def boom(self):
+        raise AssertionError("plan->RDD conversion on the file-backed path")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    widened = ensure_kernel_parallelism(df, min_partitions=8)
+    monkeypatch.undo()
+    assert widened.rdd.getNumPartitions() == 8
+    assert widened.count() == 1000

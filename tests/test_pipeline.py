@@ -448,3 +448,65 @@ def test_ivf_sampled_fit(vecs):
     queries = vecs.filter(F.col("vec_id") < 3)
     top = ivf_ann_topk(index, queries, k=3, n_probe=2).collect()
     assert len(top) == 9
+
+
+def test_lsh_bucket_null_vector_clear_error(spark):
+    from medea_spark.pipeline import lsh_signatures
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="lsh_bucket: NULL vector"):
+        lsh_signatures(df, n_planes=2, dim=2).collect()
+
+
+def test_simhash_empty_doc_sentinel(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   "), (3, ""), (4, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    # Default: token-less docs produce no row (documented exclusion).
+    assert {r.doc_id for r in simhash(df, "doc_id", "text").collect()} == {1, 4}
+    # Sentinel: every doc gets a row; empty docs share the sentinel.
+    rows = {r.doc_id: r.simhash for r in simhash(
+        df, "doc_id", "text", empty_sentinel=-1
+    ).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2] == rows[3] == -1
+    assert rows[1] == rows[4] != -1
+    groups = simhash_duplicate_groups(
+        df, "doc_id", "text", empty_sentinel=-1
+    ).collect()
+    assert {g.simhash: g.n_docs for g in groups} == {rows[1]: 2, -1: 2}
+
+
+def test_ivf_assignment_is_windowless(vecs):
+    """The cell assignment must be a codegen argmax over a broadcast
+    centroid array — no per-id window (the round-2 |corpus|x nlist +
+    window shape), no row blowup."""
+    from medea_spark.pipeline import assign_cells, build_ivf_index, build_ivf_index_hashseed
+
+    index = build_ivf_index(vecs, nlist=4, seed=42, portable_assign=True)
+    plan = index.assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # fully windowless with literal centroids
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    hs = build_ivf_index_hashseed(vecs, nlist=4, seed=42)
+    hplan = hs.assigned._jdf.queryExecution().executedPlan().toString()
+    # The only window ranks the nlist centroid rows (ordered by _hk);
+    # nothing may window-partition the corpus by its id.
+    assert "windowspecdefinition(vec_id" not in hplan
+    # Same verdicts as an explicit crossJoin+argmax over collected rows:
+    cents = {r.cluster: r.centroid for r in index.centroids.collect()}
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    got = {r.vec_id: r.cluster for r in index.assigned.select("vec_id", "cluster").collect()}
+    for row in vecs.select("vec_id", "embedding").limit(25).collect():
+        sims = sorted(
+            ((cos(row.embedding, c), -k) for k, c in cents.items()), reverse=True
+        )
+        assert got[row.vec_id] == -sims[0][1]
