@@ -1,5 +1,10 @@
 """PySpark shell around the validation kernel."""
 
+from medea_spark.engine.annotate import (
+    ANNOTATED_RESULT,
+    ANNOTATION_NODE,
+    annotate_sample,
+)
 from medea_spark.engine.partitioning import (
     PART_ID,
     SALT_ID,
@@ -24,6 +29,9 @@ from medea_spark.engine.validate import (
 )
 
 __all__ = [
+    "ANNOTATED_RESULT",
+    "ANNOTATION_NODE",
+    "annotate_sample",
     "ensure_kernel_parallelism",
     "PART_ID",
     "RESULT_STRUCT",

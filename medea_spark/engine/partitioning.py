@@ -33,17 +33,22 @@ def detect_skewed_keys(
     pruning keeps the scan narrow); the result is a tiny driver-side
     list, bounded by ``max_keys``.
     """
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
-    total = df.count()
-    if total == 0:
-        return []
-    threshold = max(1, int(total * skew_fraction))
-    rows = (
-        counts.filter(F.col("cnt") >= threshold)
-        .orderBy(F.desc("cnt"))
-        .limit(max_keys)
-        .collect()
-    )
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    try:
+        # total from the aggregated relation — one scan of df, not two
+        # (df.count() would re-scan the full table).
+        total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+        if total == 0:
+            return []
+        threshold = max(1, int(total * skew_fraction))
+        rows = (
+            counts.filter(F.col("cnt") >= threshold)
+            .orderBy(F.desc("cnt"))
+            .limit(max_keys)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
     return [r[key_col] for r in rows]
 
 

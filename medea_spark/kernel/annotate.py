@@ -138,6 +138,29 @@ def _annotate_prim(graph: SchemaGraph, v: Any, label: str, parent: str | None, d
     return {"schema": label, "children": children}
 
 
+def flatten_annotation(tree: dict, pointer: str = "") -> list[tuple]:
+    """Flatten an :func:`annotate_value` tree into
+    ``(json_pointer, schema, cls, via)`` rows — the relational carrier
+    of the Cofree annotation (RFC 6901 pointers encode the tree
+    positions, so the nesting is recoverable).  This is the shape the
+    Spark dev-mode UDF (engine.annotate_sample) returns as a nested
+    ``array<struct<...>>`` column."""
+    rows: list[tuple] = [
+        (pointer, tree["schema"], tree.get("cls"), tree.get("via"))
+    ]
+    ch = tree.get("children")
+    if isinstance(ch, list):
+        for i, sub in enumerate(ch):
+            if sub is not None:
+                rows.extend(flatten_annotation(sub, f"{pointer}/{i}"))
+    elif isinstance(ch, dict):
+        for k, sub in ch.items():
+            if sub is not None:
+                tok = k.replace("~", "~0").replace("/", "~1")
+                rows.extend(flatten_annotation(sub, f"{pointer}/{tok}"))
+    return rows
+
+
 def annotate_value(graph: SchemaGraph, value: Any) -> dict | None:
     """Annotation tree for a valid document; None when invalid.
 

@@ -57,6 +57,14 @@ def brute_force_topk(
     scored cross product at 100 TB.  Exactness is preserved: every
     global top-k row is by definition in its own batch's top-k, so the
     union the window ranks over always contains the true answer.
+
+    Why the local top-k is a Pandas stage, not JVM expressions: Spark
+    has no bounded top-k partial aggregate, and every JVM alternative
+    (window over a salted sub-key, groupBy + collect_list + slice)
+    requires an exchange carrying the FULL scored relation —
+    collect_list's map-side partials buffer whole groups, so nothing
+    prunes before the shuffle.  ``mapInPandas`` is narrow: it prunes in
+    place with zero exchange, which dominates the codegen-purity loss.
     """
     qa = F.col(f"q.{vec_col}").cast("array<double>")
     ca = F.col(f"c.{vec_col}").cast("array<double>")

@@ -85,3 +85,42 @@ def test_annotate_start_vs_userdefined_class():
     ann = annotate_value(g, [1, "x"])
     assert ann["cls"] == "StartSchema"
     assert ann["children"][1]["cls"] == "UserDefined"
+
+
+def test_annotate_sample_nested_spark_types(spark):
+    """B15 dev-mode at the Spark boundary: the Cofree annotation tree
+    round-trips as a nested array<struct> column over sampled rows —
+    pointers encode positions, cls distinguishes StartSchema from
+    UserDefined, invalid/non-JSON rows carry a null tree."""
+    from medea_spark.engine import annotate_sample
+
+    g = compile_schema_text(
+        "$schema $start\n    $type\n        $array\n    $tuple\n        $number\n        inner\n\n"
+        "$schema inner\n    $type\n        $string\n"
+    )
+    df = spark.createDataFrame(
+        [(1, '[1, "x"]'), (2, "[1, 2]"), (3, "{nope")],
+        ["doc_id", "content"],
+    )
+    out = annotate_sample(df, g, n=3).orderBy("doc_id").collect()
+    assert [r.is_valid for r in out] == [True, False, False]
+    assert out[1].annotation is None and out[2].annotation is None
+    nodes = {r.json_pointer: r for r in out[0].annotation}
+    assert nodes[""].schema == "$start" and nodes[""].cls == "StartSchema"
+    assert nodes[""].via == "$array"
+    assert nodes["/0"].schema == "$number" and nodes["/0"].cls is None
+    assert nodes["/1"].schema == "inner" and nodes["/1"].cls == "UserDefined"
+    assert nodes["/1"].via == "$string"
+    # the schema is a real nested Spark SQL type, not a JSON string
+    field = dict(zip([f.name for f in annotate_sample(df, g, 1).schema.fields],
+                     annotate_sample(df, g, 1).schema.fields))["annotation"]
+    assert field.dataType.typeName() == "array"
+    assert field.dataType.elementType.typeName() == "struct"
+
+
+def test_annotate_sample_limit_bounds_work(spark):
+    from medea_spark.engine import annotate_sample
+
+    g = compile_schema_text("$schema $start\n    $type\n        $number\n")
+    df = spark.range(1000).selectExpr("cast(id as string) as content")
+    assert annotate_sample(df, g, n=7).count() == 7
