@@ -510,3 +510,17 @@ def test_ivf_assignment_is_windowless(vecs):
             ((cos(row.embedding, c), -k) for k, c in cents.items()), reverse=True
         )
         assert got[row.vec_id] == -sims[0][1]
+
+
+def test_jaccard_staged_equals_persisted(docs, tmp_path):
+    """stage_location (the 100x path) must change the plan, not the
+    answer: staged and session-persisted runs return identical pairs."""
+    subset = docs.filter(F.col("doc_id") % 20 == 0)
+    base = ngram_jaccard_pairs(subset, "doc_id", "text", n=3, threshold=0.4)
+    staged = ngram_jaccard_pairs(
+        subset, "doc_id", "text", n=3, threshold=0.4,
+        stage_location=str(tmp_path / "sh_stage"),
+    )
+    a = {(r.doc_a, r.doc_b, r.jaccard) for r in base.collect()}
+    b = {(r.doc_a, r.doc_b, r.jaccard) for r in staged.collect()}
+    assert a == b and len(a) > 0
