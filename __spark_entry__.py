@@ -833,7 +833,13 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = vecs.filter(F.col("vec_id") < 5)
-    fitted = build_ivf_index(vecs, nlist=8, seed=42, portable_assign=True)
+    # The 100 TB fit pattern: sampled KMeans, few iterations — centroid
+    # quality only steers cell shapes (n_probe governs recall), and the
+    # oracle gates the exported centroids regardless of how they were fit.
+    fitted = build_ivf_index(
+        vecs, nlist=8, seed=42, portable_assign=True,
+        sample_fraction=0.5, max_iter=8,
+    )
     fitted.centroids.coalesce(1).write.mode("overwrite").parquet(_IVF_CENTROIDS_PATH)
     # Re-read the persisted centroids so Spark and the oracle derive
     # from the identical bytes (KMeans numerics never enter the gate).

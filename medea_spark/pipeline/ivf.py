@@ -78,6 +78,7 @@ def build_ivf_index(
     seed: int = 42,
     sample_fraction: float | None = None,
     portable_assign: bool = False,
+    max_iter: int = 20,
 ) -> IvfIndex:
     """Fit the coarse quantizer and assign every vector to a cell.
 
@@ -100,8 +101,12 @@ def build_ivf_index(
     fit_input = featurized
     if sample_fraction is not None and sample_fraction < 1.0:
         fit_input = featurized.sample(fraction=sample_fraction, seed=seed)
+    # max_iter trades fit cost for centroid quality — IVF recall is
+    # governed by n_probe far more than by fully-converged centroids,
+    # so production indexes can cut iterations well below MLlib's 20.
     model = KMeans(
-        k=nlist, seed=seed, featuresCol="_features", predictionCol="cluster"
+        k=nlist, seed=seed, maxIter=max_iter,
+        featuresCol="_features", predictionCol="cluster",
     ).fit(fit_input)
     spark = df.sparkSession
     # Centroids come from the driver-side model: nlist rows —
