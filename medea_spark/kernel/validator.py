@@ -80,6 +80,23 @@ def _reject_constant(_: str) -> Any:
 # sharing is thread-safe.
 _DECODER_DECODE = json.JSONDecoder(parse_constant=_reject_constant).decode
 
+# Fast path: orjson parses ~4x faster and is STRICTER than the stdlib
+# decoder (rejects NaN/Infinity like our parse_constant hook, rejects
+# >64-bit ints, lone surrogates, invalid UTF-8).  Everything it rejects
+# falls back to the stdlib path, which keeps the verdict — so using it
+# can never change a result, only speed up documents both accept.  The
+# parsed values are the same concrete types (dict/list/str/int/float/
+# bool/None), which is all the walk dispatches on.  Gated behind an
+# import-try for environments without it.
+try:
+    import orjson as _orjson
+
+    _ORJSON_LOADS = _orjson.loads
+    _ORJSON_ERROR = _orjson.JSONDecodeError
+except ImportError:  # pragma: no cover - exercised only without orjson
+    _ORJSON_LOADS = None
+    _ORJSON_ERROR = ()
+
 
 # json.loads yields exactly these concrete types, so an exact-type map
 # is both correct and the fastest dispatch (one dict hit vs a branch
@@ -112,6 +129,7 @@ _TYPE_MAP = {
 _BROKEN_CAND = (False, 0, ())
 
 _MISSING = object()  # props.get sentinel (None legitimately means AnyNode)
+_SLOW_PARSE_FAILED = object()  # orjson rejected; stdlib decoder decides
 
 
 class _Linked:
@@ -518,6 +536,19 @@ def validate_document(
     single violation ``NOT_JSON`` at pointer ``""`` (reference:
     Medea.hs:225-228 decodeStrict → NotJSON).
     """
+    if _ORJSON_LOADS is not None:
+        try:
+            value = _ORJSON_LOADS(content)
+        except _ORJSON_ERROR:
+            # orjson is strictly pickier than the stdlib decoder: retry
+            # on the reference-faithful slow path before ruling NOT_JSON
+            # (big ints, escaped lone surrogates, non-UTF-8 encodings).
+            value = _SLOW_PARSE_FAILED
+        except (TypeError, RecursionError):
+            return False, [("", NOT_JSON, "")]
+        if value is not _SLOW_PARSE_FAILED:
+            violations = validate_value(graph, value, collect_all)
+            return not violations, violations
     try:
         if content.__class__ is not str:
             # bytes input: same UTF-8/16/32 sniffing json.loads applies
