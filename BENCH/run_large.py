@@ -91,6 +91,12 @@ def main() -> None:
         cmd = ["taskset", "-c", f"0-{args.cpus - 1}"] + cmd
     try:
         out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=str(REPO))
+    except subprocess.CalledProcessError as exc:
+        # Surface the worker's Spark stack trace — a 30-minute run that
+        # dies must not report only "non-zero exit status".
+        sys.stderr.write(exc.stdout or "")
+        sys.stderr.write(exc.stderr or "")
+        raise
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     res = None

@@ -103,7 +103,11 @@ class SchemaGraph(dict):
     ``medea_spark.kernel.validator.link_graph`` — the walk dispatches on
     resolved CompiledSchema pointers instead of per-reference dict
     lookups).  Plain dicts remain accepted everywhere a SchemaGraph is;
-    they just relink per validate call instead of caching."""
+    they just relink per validate call instead of caching.
+
+    Every mutating dict method drops the cached linked view: merging or
+    overriding schemas after a first validation must relink, or stale
+    pointers would silently validate against the old graph."""
 
     __slots__ = ("_linked_root",)
 
@@ -113,6 +117,40 @@ class SchemaGraph(dict):
         # relinks once (lazily) instead of paying for a serialized
         # object graph twice the size.
         return (SchemaGraph, (dict(self),))
+
+    def _invalidate(self) -> None:
+        try:
+            del self._linked_root
+        except AttributeError:
+            pass
+
+    def __setitem__(self, key, value):
+        self._invalidate()
+        return super().__setitem__(key, value)
+
+    def __delitem__(self, key):
+        self._invalidate()
+        return super().__delitem__(key)
+
+    def update(self, *args, **kwargs):
+        self._invalidate()
+        return super().update(*args, **kwargs)
+
+    def clear(self):
+        self._invalidate()
+        return super().clear()
+
+    def pop(self, *args):
+        self._invalidate()
+        return super().pop(*args)
+
+    def popitem(self):
+        self._invalidate()
+        return super().popitem()
+
+    def setdefault(self, *args):
+        self._invalidate()
+        return super().setdefault(*args)
 
 
 START = "$start"

@@ -55,18 +55,20 @@ def annotate_sample(
     StartSchema from UserDefined (Medea.hs:133-135)."""
 
     def _annotate_batch(batch: pd.Series) -> pd.DataFrame:
-        import json as _json
-
         from medea_spark.kernel.annotate import annotate_value, flatten_annotation
+        from medea_spark.kernel.validator import parse_json
 
         valids: list[bool] = []
         annotations: list[list[dict] | None] = []
         for content in batch.tolist():
             tree = None
             if content is not None:
+                # parse_json is the SAME parse validate_document uses —
+                # the debugging tool must agree with the engine verdict
+                # on what counts as JSON (NaN/Infinity etc.).
                 try:
-                    value = _json.loads(content)
-                except (ValueError, TypeError, RecursionError):
+                    value = parse_json(content)
+                except Exception:
                     value = _SENTINEL
                 if value is not _SENTINEL:
                     tree = annotate_value(graph, value)

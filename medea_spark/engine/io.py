@@ -55,28 +55,72 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(target)
 
 
-def _estimate_scan_splits(df: DataFrame) -> int | None:
+# Logical operators whose presence means the DataFrame's partitioning
+# is no longer the file scan's — a file-metadata split estimate would
+# then be wrong in both directions (it misses an upstream repartition
+# AND a coalesce).  Checked on the ANALYZED logical plan (cheap string
+# scan; no physical planning, no RDD conversion).
+_NON_SCAN_PLAN_NODES = (
+    "Repartition",  # covers RepartitionByExpression too
+    "Coalesce",
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Distinct",
+    "Deduplicate",
+    "GlobalLimit",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _scan_only_plan(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return not any(tok in plan for tok in _NON_SCAN_PLAN_NODES)
+
+
+def _estimate_scan_splits(df: DataFrame, min_partitions: int) -> int | None:
     """Estimate the file-scan split count from file metadata alone —
     Spark's own FilePartition math (maxSplitBytes = min(maxPartitionBytes,
     max(openCostInBytes, totalBytes/defaultParallelism)); splits packed
     greedily to that size) — without converting the plan to an RDD.
-    Returns None for non-file-backed plans (caller falls back)."""
+    Returns None when the plan's partitioning is not the scan's (an
+    exchange/coalesce/join upstream) or the source is not file-backed
+    (caller falls back to the RDD path).
+
+    Scale guard: every file is at least one split, so when the file
+    COUNT already reaches ``min_partitions`` no stat calls are made —
+    the per-file FS round-trips only ever run for fewer than
+    ``min_partitions`` files."""
+    if not _scan_only_plan(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
+    if len(files) >= min_partitions:
+        return len(files)  # lower bound suffices: caller only compares >=
     spark = df.sparkSession
-    jvm = spark._jvm
-    as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
-    max_pb = as_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    open_cost = as_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
-    hconf = spark._jsc.hadoopConfiguration()
-    total = 0
-    for f in files:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        total += p.getFileSystem(hconf).getFileStatus(p).getLen() + open_cost
+    try:
+        jvm = spark._jvm
+        as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+        max_pb = as_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        open_cost = as_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen() + open_cost
+    except Exception:
+        # A file compacted/deleted between listing and stat (or an FS
+        # quirk) must degrade to the RDD fallback, not crash the caller.
+        return None
     parallelism = max(1, spark.sparkContext.defaultParallelism)
     max_split = max(1, min(max_pb, max(open_cost, total // parallelism)))
     return max(1, -(-total // max_split))  # ceil div
@@ -93,15 +137,18 @@ def ensure_kernel_parallelism(df: DataFrame, min_partitions: int | None = None) 
     big-data path); below the threshold the repartition exchanges a few
     megabytes to light up every core.
 
-    The split count comes from file metadata (one FS stat per file),
-    not ``df.rdd.getNumPartitions()`` — the RDD conversion forced a
-    full plan translation per call when pipelines compose this helper.
-    Non-file sources keep the RDD fallback.
+    For scan-shaped plans (scan/project/filter over files) the split
+    count comes from file metadata — no ``df.rdd`` plan→RDD conversion.
+    Plans that already contain an exchange/coalesce/join keep the exact
+    RDD-partition check: their partitioning is whatever the upstream
+    operator set, and a file-based estimate would both miss a
+    ``coalesce(1)`` and redundantly re-shuffle an already-repartitioned
+    relation.
     """
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    splits = _estimate_scan_splits(df)
+    splits = _estimate_scan_splits(df, min_partitions)
     if splits is None:
         splits = df.rdd.getNumPartitions()
     if splits >= min_partitions:

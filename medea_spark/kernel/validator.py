@@ -129,7 +129,6 @@ _TYPE_MAP = {
 _BROKEN_CAND = (False, 0, ())
 
 _MISSING = object()  # props.get sentinel (None legitimately means AnyNode)
-_SLOW_PARSE_FAILED = object()  # orjson rejected; stdlib decoder decides
 
 
 class _Linked:
@@ -536,28 +535,32 @@ def validate_document(
     single violation ``NOT_JSON`` at pointer ``""`` (reference:
     Medea.hs:225-228 decodeStrict → NotJSON).
     """
-    if _ORJSON_LOADS is not None:
-        try:
-            value = _ORJSON_LOADS(content)
-        except _ORJSON_ERROR:
-            # orjson is strictly pickier than the stdlib decoder: retry
-            # on the reference-faithful slow path before ruling NOT_JSON
-            # (big ints, escaped lone surrogates, non-UTF-8 encodings).
-            value = _SLOW_PARSE_FAILED
-        except (TypeError, RecursionError):
-            return False, [("", NOT_JSON, "")]
-        if value is not _SLOW_PARSE_FAILED:
-            violations = validate_value(graph, value, collect_all)
-            return not violations, violations
     try:
-        if content.__class__ is not str:
-            # bytes input: same UTF-8/16/32 sniffing json.loads applies
-            # (Aeson decodeStrict parses bytes too — Medea.hs:225).
-            # strict errors: invalid UTF-8 must stay NOT_JSON, exactly
-            # like json.loads(bytes) (and Aeson decodeStrict) before.
-            content = content.decode(json.detect_encoding(content))
-        value = _DECODER_DECODE(content)
-    except (ValueError, TypeError, AttributeError, RecursionError):
+        value = parse_json(content)
+    except Exception:
         return False, [("", NOT_JSON, "")]
     violations = validate_value(graph, value, collect_all)
     return not violations, violations
+
+
+def parse_json(content: str | bytes) -> Any:
+    """THE kernel document parse — validate_document and every dev-mode
+    companion (engine.annotate_sample) must agree on what counts as
+    JSON, so they all route here.  orjson fast path when present, with
+    the stdlib decoder (NaN/Infinity rejected via parse_constant) as
+    the reference-faithful arbiter for everything orjson rejects (big
+    ints, escaped lone surrogates, non-UTF-8 encodings).  Raises
+    ValueError/TypeError/AttributeError on non-JSON."""
+    if _ORJSON_LOADS is not None:
+        try:
+            return _ORJSON_LOADS(content)
+        except _ORJSON_ERROR:
+            pass  # stricter than stdlib: let the slow path decide
+    if not isinstance(content, str):
+        # bytes input: same UTF-8/16/32 sniffing json.loads applies
+        # (Aeson decodeStrict parses bytes too — Medea.hs:225).
+        # strict errors: invalid UTF-8 must stay NOT_JSON.  isinstance,
+        # not an exact-type check: str subclasses (numpy.str_ and
+        # friends) must take the str path, not bytes .decode().
+        content = content.decode(json.detect_encoding(content))
+    return _DECODER_DECODE(content)

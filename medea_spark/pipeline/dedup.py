@@ -227,6 +227,14 @@ def simhash(
     (they then group/pair with each other, which is usually what a
     dedup pass wants).
     """
+    if empty_sentinel is not None and 0 <= empty_sentinel < (1 << SIMHASH_BITS):
+        # Real fingerprints occupy [0, 2^60); a sentinel inside that
+        # range (0 especially — the all-votes-negative fingerprint)
+        # would silently merge genuine documents with empty ones.
+        raise ValueError(
+            f"empty_sentinel must lie outside [0, 2**{SIMHASH_BITS}) "
+            f"(got {empty_sentinel}); use a negative value"
+        )
     toks = _norm_words(F.col(text_col))
     t = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))

@@ -248,3 +248,40 @@ def test_ensure_kernel_parallelism_uses_file_metadata(spark, tmp_path, monkeypat
     monkeypatch.undo()
     assert widened.rdd.getNumPartitions() == 8
     assert widened.count() == 1000
+
+
+def test_ensure_kernel_parallelism_respects_upstream_exchange(spark, tmp_path):
+    """A DataFrame whose partitioning was set by an upstream operator
+    (repartition/coalesce) must use the exact RDD check, not the file
+    estimate — never downsizing an already-wider relation, and still
+    widening a coalesced one."""
+    from medea_spark.engine import ensure_kernel_parallelism
+
+    p = str(tmp_path / "exch_parquet")
+    spark.range(1000).selectExpr("id", "repeat('x', 50) as pad").coalesce(
+        1
+    ).write.parquet(p)
+    wide = spark.read.parquet(p).repartition(16)
+    out = ensure_kernel_parallelism(wide, min_partitions=8)
+    assert out is wide  # 16 >= 8: untouched, no second shuffle
+    narrow = spark.read.parquet(p).repartition(16).coalesce(1)
+    out2 = ensure_kernel_parallelism(narrow, min_partitions=8)
+    assert out2.rdd.getNumPartitions() == 8  # coalesce(1) caught
+
+
+def test_annotate_sample_agrees_with_kernel_on_nonstandard_json(spark):
+    """The dev-mode annotation must use the SAME parse as the engine:
+    NaN/Infinity are NOT_JSON to the kernel, so annotate_sample must
+    not report them valid."""
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.engine import annotate_sample
+    from medea_spark.kernel import validate_document
+
+    g = compile_schema_text("$schema $start\n    $type\n        $number\n")
+    assert validate_document(g, "NaN")[0] is False
+    df = spark.createDataFrame([(1, "NaN"), (2, "Infinity"), (3, "5")],
+                               ["doc_id", "content"])
+    rows = {r.doc_id: r for r in annotate_sample(df, g, n=3).collect()}
+    assert rows[1].is_valid is False and rows[1].annotation is None
+    assert rows[2].is_valid is False
+    assert rows[3].is_valid is True

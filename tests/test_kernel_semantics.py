@@ -207,3 +207,29 @@ def test_foreign_parsed_types_fall_back_to_object():
     assert validate_value(g, OrderedDict({"k": 1})) == []
     viols = validate_value(g, {"k": Decimal("1")})
     assert viols and viols[0][1] == "NOT_ONE_OF_OPTIONS"
+
+
+def test_graph_mutation_invalidates_linked_cache():
+    """Mutating a compiled SchemaGraph after a first validation must
+    relink — verdicts follow the live graph, never stale pointers."""
+    num = make("$schema $start\n    $type\n        $number\n")
+    string = make("$schema $start\n    $type\n        $string\n")
+    assert validate_document(num, "5")[0] is True  # caches linked view
+    num["$start"] = string["$start"]
+    assert validate_document(num, "5")[0] is False
+    assert validate_document(num, '"x"')[0] is True
+    num.update(string)
+    assert validate_document(num, '"y"')[0] is True
+
+
+def test_str_subclass_content():
+    """str subclasses (numpy.str_ and friends) must take the str parse
+    path, not bytes .decode() — exact-type dispatch broke this once."""
+
+    class S(str):
+        pass
+
+    g = make("$schema $start\n    $type\n        $number\n")
+    assert validate_document(g, S("5")) == (True, [])
+    ok, v = validate_document(g, S('"x"'))
+    assert ok is False and v[0][1] == "NOT_ONE_OF_OPTIONS"

@@ -524,3 +524,11 @@ def test_jaccard_staged_equals_persisted(docs, tmp_path):
     a = {(r.doc_a, r.doc_b, r.jaccard) for r in base.collect()}
     b = {(r.doc_a, r.doc_b, r.jaccard) for r in staged.collect()}
     assert a == b and len(a) > 0
+
+
+def test_simhash_rejects_in_range_sentinel(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="empty_sentinel"):
+        simhash(df, "doc_id", "text", empty_sentinel=0)
+    with pytest.raises(ValueError, match="empty_sentinel"):
+        simhash(df, "doc_id", "text", empty_sentinel=(1 << 59))
