@@ -816,6 +816,31 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(index, queries, k=3, n_probe=3).orderBy("query_id", "rank")
 
 
+def q_annotate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 dev-mode under the hard gate: the Cofree annotation tree of
+    the first 60 mutated events docs, flattened to relational rows
+    (pointer, schema label, constructor class, via).  For the closed
+    {"k": number} schema a valid doc annotates exactly as the root
+    StartSchema node (via $object) plus the /k $number node; invalid
+    docs carry a NULL tree — all independently reproducible in SQL."""
+    from medea_spark.engine import annotate_sample
+
+    df = _events_with_content(spark, sf_dir).orderBy("event_id").limit(60)
+    out = annotate_sample(df, _events_graph(), n=60)
+    return (
+        out.select("event_id", "is_valid", F.explode_outer("annotation").alias("a"))
+        .select(
+            "event_id",
+            "is_valid",
+            F.col("a.json_pointer").alias("json_pointer"),
+            F.col("a.schema").alias("schema_label"),
+            F.col("a.cls").alias("cls"),
+            F.col("a.via").alias("via"),
+        )
+        .orderBy("event_id", "json_pointer")
+    )
+
+
 _IVF_CENTROIDS_PATH = "/tmp/medea_oracle/ivf_kmeans_centroids"
 
 
@@ -1023,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_plan": q_frame_plan,
         "media_resize": q_media_resize,
         "embed_near_dups": q_embed_near_dups,
+        "annotate_sample": q_annotate_sample,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1436,6 +1462,23 @@ def oracle_sql() -> dict[str, str]:
         )
         select query_id, neighbor_id, rank, sim from ranked
         where rank <= 3 order by query_id, rank
+        """,
+        "annotate_sample": _ORACLE_EVENTS_CTE
+        + """
+        , sample as (
+            select event_id, (failed_constraint is null) as is_valid
+            from judged order by event_id limit 60
+        )
+        select event_id, is_valid, '' as json_pointer,
+               '$start' as schema_label, 'StartSchema' as cls, '$object' as via
+        from sample where is_valid
+        union all
+        select event_id, is_valid, '/k', '$number', NULL, NULL
+        from sample where is_valid
+        union all
+        select event_id, is_valid, NULL, NULL, NULL, NULL
+        from sample where not is_valid
+        order by event_id, json_pointer
         """,
         "ivf_kmeans_topk": f"""
         with base as (
