@@ -44,6 +44,12 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Shared-VM context: neighbor load varies 0-10 here and swings query
+    # wall times up to 3x (CLAUDE.md).  Recording the load alongside the
+    # timings lets a reader judge whether a slow total is the engine or
+    # the machine.
+    load_start = os.getloadavg()
+
     spark = get_spark(
         app_name="medea-bench", cores=cpus, shuffle_partitions=max(2 * cpus, 32)
     )
@@ -110,6 +116,8 @@ def main() -> None:
                     "corpus_rows": bench_rows,
                     "validated_files_per_sec": files_per_sec,
                     "violations_per_sec": violations_per_sec,
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 },
             }
         )
