@@ -233,3 +233,55 @@ def test_str_subclass_content():
     assert validate_document(g, S("5")) == (True, [])
     ok, v = validate_document(g, S('"x"'))
     assert ok is False and v[0][1] == "NOT_ONE_OF_OPTIONS"
+
+
+def test_parse_json_orjson_subset_property():
+    """The orjson fast path may only ever ACCEPT a subset of what the
+    stdlib decoder accepts, with structurally-equal values (number
+    class, not bit-equality: >64-bit ints legally come back as floats —
+    same JSON_NUMBER class, the only thing the walk dispatches on).
+    Anything orjson rejects falls back to the stdlib decoder, so this
+    property is exactly 'using orjson cannot change a verdict'."""
+    import pytest
+
+    orjson = pytest.importorskip("orjson")
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def structurally_equal(a, b):
+        if isinstance(a, bool) or isinstance(b, bool):
+            return a is b
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return True  # same JSON number class
+        if type(a) is not type(b):
+            return False
+        if isinstance(a, list):
+            return len(a) == len(b) and all(
+                structurally_equal(x, y) for x, y in zip(a, b)
+            )
+        if isinstance(a, dict):
+            return a.keys() == b.keys() and all(
+                structurally_equal(a[k], b[k]) for k in a
+            )
+        return a == b
+
+    raw = st.one_of(
+        st.text(max_size=80),
+        st.text(
+            alphabet='{}[]",:0123456789.eE+-truefalsn ulINaify\\', max_size=80
+        ),
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(raw)
+    def check(s):
+        try:
+            ov = orjson.loads(s)
+        except Exception:
+            return  # rejected: the stdlib fallback decides — trivially safe
+        sv = _json.loads(s)  # orjson accepted => stdlib must accept
+        assert structurally_equal(ov, sv)
+
+    check()
