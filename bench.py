@@ -47,8 +47,25 @@ def main() -> None:
     # Shared-VM context: neighbor load varies 0-10 here and swings query
     # wall times up to 3x (CLAUDE.md).  Recording the load alongside the
     # timings lets a reader judge whether a slow total is the engine or
-    # the machine.
+    # the machine.  Per-query attribution (round-3 verdict item 2):
+    # loadavg is sampled before each query, and /proc/stat deltas give
+    # the machine-wide busy-core count and hypervisor steal fraction
+    # DURING the query — so a single slow query can be separated into
+    # "engine regression" vs "neighbor landed on the box mid-run".
     load_start = os.getloadavg()
+
+    def proc_stat() -> tuple[int, int, int]:
+        """(total, idle, steal) jiffies from the aggregate cpu line."""
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+        except (OSError, ValueError):
+            return (0, 0, 0)
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        return (sum(vals[:8]), idle, steal)
+
+    n_cpu = os.cpu_count() or 1
 
     spark = get_spark(
         app_name="medea-bench", cores=cpus, shuffle_partitions=max(2 * cpus, 32)
@@ -71,10 +88,24 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     results: dict[str, float] = {}
+    query_env: dict[str, dict[str, float]] = {}
     for name, fn in entrymod.queries().items():
+        load1 = os.getloadavg()[0]
+        s_total, s_idle, s_steal = proc_stat()
         t0 = time.monotonic()
         run_noop(fn(spark, sf_dir))
         results[name] = round(time.monotonic() - t0, 3)
+        e_total, e_idle, e_steal = proc_stat()
+        d_total = e_total - s_total
+        query_env[name] = {
+            "load1": round(load1, 2),
+            "busy_cores": round(
+                n_cpu * (1 - (e_idle - s_idle) / d_total) if d_total else -1.0, 1
+            ),
+            "steal_pct": round(
+                100.0 * (e_steal - s_steal) / d_total if d_total else -1.0, 2
+            ),
+        }
 
     # Kernel throughput: validated files/sec over the synthetic corpus.
     scratch = tempfile.mkdtemp(prefix="medea_bench_")
@@ -118,6 +149,7 @@ def main() -> None:
                     "violations_per_sec": violations_per_sec,
                     "loadavg_start": [round(x, 2) for x in load_start],
                     "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                    "query_env": query_env,
                 },
             }
         )
