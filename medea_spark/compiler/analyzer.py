@@ -152,6 +152,13 @@ class SchemaGraph(dict):
         self._invalidate()
         return super().setdefault(*args)
 
+    def __ior__(self, other):
+        # `graph |= other` dispatches to C-level dict.__ior__, NOT
+        # update(), so without this override the in-place merge would
+        # keep a stale _linked_root and validate against the old graph.
+        self._invalidate()
+        return super().__ior__(other)
+
 
 START = "$start"
 

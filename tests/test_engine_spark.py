@@ -269,6 +269,50 @@ def test_ensure_kernel_parallelism_respects_upstream_exchange(spark, tmp_path):
     assert out2.rdd.getNumPartitions() == 8  # coalesce(1) caught
 
 
+def test_scan_shape_detection_ignores_operator_named_columns(
+    spark, tmp_path, monkeypatch
+):
+    """Scan-shape detection walks logical-plan node CLASSES, so a column
+    literally named "Join-ish" (which put the token "Join" into the plan
+    string) must not push a plain scan off the file-metadata path."""
+    from pyspark.sql import DataFrame
+
+    from medea_spark.engine import ensure_kernel_parallelism
+
+    p = str(tmp_path / "joinish_parquet")
+    spark.range(1000).selectExpr(
+        "id", "repeat('x', 100) as `Join-ish`"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p).selectExpr("`Join-ish`", "id as `Sort of`")
+
+    def boom(self):
+        raise AssertionError("plan->RDD conversion on a scan-shaped plan")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    widened = ensure_kernel_parallelism(df, min_partitions=8)
+    monkeypatch.undo()
+    assert widened.rdd.getNumPartitions() == 8
+    assert widened.count() == 1000
+
+
+def test_many_small_files_above_parallelism_still_widened(spark, tmp_path):
+    """File count is NOT a lower bound on scan splits above
+    defaultParallelism: Spark packs small files together, so 70 tiny
+    files can scan as ~4 splits.  ensure_kernel_parallelism must run the
+    byte-based estimate there and still widen (round-3 advice)."""
+    from medea_spark.engine import ensure_kernel_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+    want = 2 * par
+    p = str(tmp_path / "many_tiny_parquet")
+    spark.range(1000).repartition(want + 6).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) >= want  # the buggy short-circuit regime
+    assert df.rdd.getNumPartitions() < want  # packing merged the files
+    out = ensure_kernel_parallelism(df, min_partitions=want)
+    assert out.rdd.getNumPartitions() == want
+
+
 def test_annotate_sample_agrees_with_kernel_on_nonstandard_json(spark):
     """The dev-mode annotation must use the SAME parse as the engine:
     NaN/Infinity are NOT_JSON to the kernel, so annotate_sample must

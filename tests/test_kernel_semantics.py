@@ -222,6 +222,19 @@ def test_graph_mutation_invalidates_linked_cache():
     assert validate_document(num, '"y"')[0] is True
 
 
+def test_graph_inplace_or_invalidates_linked_cache():
+    """`graph |= other` hits C-level dict.__ior__, which bypasses the
+    overridden update()/__setitem__ — SchemaGraph must override __ior__
+    too, or the stale linked view survives the merge and verdicts come
+    from the old graph (round-3 advice, reproduced)."""
+    num = make("$schema $start\n    $type\n        $number\n")
+    string = make("$schema $start\n    $type\n        $string\n")
+    assert validate_document(num, "5")[0] is True  # caches linked view
+    num |= {"$start": string["$start"]}
+    assert validate_document(num, "5")[0] is False
+    assert validate_document(num, '"x"')[0] is True
+
+
 def test_str_subclass_content():
     """str subclasses (numpy.str_ and friends) must take the str parse
     path, not bytes .decode() — exact-type dispatch broke this once."""
