@@ -83,7 +83,12 @@ def annotate_sample(
             )
         return pd.DataFrame({"is_valid": valids, "annotation": annotations})
 
-    udf = F.pandas_udf(_annotate_batch, ANNOTATED_RESULT)
+    # Evaluate-once pledge (repo convention, CLAUDE.md): Catalyst
+    # re-evaluates a deterministic UDF once per *reference*, and _ann is
+    # referenced twice below — asNondeterministic() collapses that to a
+    # single parse+annotate run per sampled row.  The function is pure,
+    # so no semantics change.
+    udf = F.pandas_udf(_annotate_batch, ANNOTATED_RESULT).asNondeterministic()
     return (
         df.limit(n)
         .withColumn("_ann", udf(F.col(content_col)))

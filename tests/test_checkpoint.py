@@ -155,12 +155,16 @@ def test_staged_waves_prune_and_resume(spark, store, tmp_path):
     df = generate_corpus(spark, 600, seed=13)
     graph = corpus_schema_graph()
     stage = str(tmp_path / "stage")
+    fp = "corpus-n600-seed13"
     res = run_validation_with_checkpoints(
         spark, df, graph, store, run_id="st", num_partitions=4, n_waves=2,
-        stage_location=stage,
+        input_fingerprint=fp, stage_location=stage,
     )
     assert res.parts_done == 4
-    staged = spark.read.parquet(f"{stage}/run=st")
+    import glob
+
+    (staged_dir,) = glob.glob(f"{stage}/run=st-*")
+    staged = spark.read.parquet(staged_dir)
     wave = staged.filter(F.col("part_id").isin([0, 2]))
     plan = wave._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "part_id" in plan
@@ -173,7 +177,7 @@ def test_staged_waves_prune_and_resume(spark, store, tmp_path):
     assert total == 600
     again = run_validation_with_checkpoints(
         spark, df, graph, store, run_id="st", num_partitions=4, n_waves=2,
-        stage_location=stage,
+        input_fingerprint=fp, stage_location=stage,
     )
     assert again.parts_done == 0 and again.parts_skipped == 4
 
