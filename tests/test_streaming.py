@@ -130,3 +130,84 @@ def test_repo_violation_state(spark, stream_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_repo_state_restart_resumes_from_checkpoint(spark, stream_dir, tmp_path):
+    """Kill the stateful stream mid-replay (after >=1 committed
+    micro-batch, before all of them), restart from the same
+    checkpointLocation, and the final per-repo state must still equal
+    the batch census — the resume property a production ingest relies
+    on, which the clean-replay oracle cannot see (round-3 verdict 5).
+
+    Uncommitted-batch replay is covered by construction: any output row
+    the killed run emitted for a batch whose state commit didn't land is
+    recomputed from the SAME checkpointed state on restart, and running
+    totals are monotone, so the struct-max over both runs' outputs is
+    exactly the final state."""
+    import time
+
+    schema = _schema_with_ts()
+    ckpt = str(tmp_path / "repo_state_ckpt")
+
+    def start(sink_rows):
+        # The memory sink refuses checkpoint recovery; foreachBatch is
+        # the restartable sink (batch-id replay semantics), collecting
+        # each micro-batch's update rows driver-side.
+        src = file_stream_source(spark, stream_dir, schema, max_files_per_trigger=1)
+        validated = validate_stream(src, corpus_schema_graph())
+        return (
+            repo_violation_state(validated)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: sink_rows.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # Run 1: stop as soon as the first data micro-batch commits.  Six
+    # input files at maxFilesPerTrigger=1 means six kernel-bearing
+    # batches of ~250 rows each, so a 25 ms poll lands mid-replay.
+    rows1: list = []
+    q1 = start(rows1)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        time.sleep(0.025)
+    q1.stop()
+    q1.awaitTermination()
+    rows_r1 = sum(r["batch_rows"] for r in rows1)
+    assert 0 < rows_r1 < N  # genuinely mid-replay: some but not all rows
+
+    # Run 2: same checkpoint, drain the remainder.
+    rows2: list = []
+    q2 = start(rows2)
+    q2.processAllAvailable()
+    q2.stop()
+    assert sum(r["batch_rows"] for r in rows2) > 0  # resumed work
+
+    from medea_spark.streaming.validate_stream import REPO_STATE_OUTPUT
+
+    final = (
+        spark.createDataFrame(rows1 + rows2, REPO_STATE_OUTPUT)
+        .groupBy("repo")
+        .agg(F.max(F.struct("rows_seen", "invalid_seen")).alias("m"))
+        .select("repo", "m.rows_seen", "m.invalid_seen")
+    )
+    got = {r["repo"]: (r["rows_seen"], r["invalid_seen"]) for r in final.collect()}
+    from medea_spark.engine import validate_table
+
+    truth = {
+        r["repo"]: (r["rows"], r["invalid"])
+        for r in validate_table(
+            generate_corpus(spark, N, seed=42), corpus_schema_graph(), num_partitions=4
+        )
+        .validated.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("is_valid")).cast("long")).alias("invalid"),
+        )
+        .collect()
+    }
+    assert got == truth
