@@ -1084,6 +1084,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lang_scores_duckdb() -> str:
+    """Per-language trigram-overlap score columns (s_en, s_de, ...) —
+    generated from the SAME profile constants the Spark lang_id uses,
+    so both engines score from one source of truth."""
+    from medea_spark.pipeline.textstats import LANG_ORDER, LANG_PROFILES
+
+    cols = []
+    for lang in LANG_ORDER:
+        arr = ", ".join(
+            "'" + tri.replace("'", "''") + "'" for tri in LANG_PROFILES[lang]
+        )
+        cols.append(f"len(list_intersect(tris, [{arr}])) as s_{lang}")
+    return ",\n                   ".join(cols)
+
+
+def _lang_guess_duckdb() -> str:
+    """The argmax CASE: highest overlap wins, ties break in declared
+    language order, best overlap < LANG_MIN_OVERLAP -> 'unknown'."""
+    from medea_spark.pipeline.textstats import LANG_MIN_OVERLAP, LANG_ORDER
+
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    lines = [f"case when {best} < {LANG_MIN_OVERLAP} then 'unknown'"]
+    for lang in LANG_ORDER:
+        lines.append(f"when s_{lang} = {best} then '{lang}'")
+    lines.append("else 'unknown' end")
+    return "\n                    ".join(lines)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "medea_validate_rows": _ORACLE_EVENTS_CTE
@@ -1256,8 +1284,20 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": r"""
         with words as (
             select doc_id, text,
-                   regexp_split_to_array(trim(lower(text)), '\s+') as w
+                   regexp_split_to_array(trim(lower(text)), '\s+') as w,
+                   ' ' || trim(regexp_replace(regexp_replace(lower(text),
+                       '[^\p{L}\s]+', ' ', 'g'), '\s+', ' ', 'g')) || ' ' as norm_t
             from documents where doc_id < 200
+        ), tri as (
+            select *, list_distinct(list_transform(
+                       generate_series(1, greatest(length(norm_t) - 2, 1)),
+                       i -> substring(norm_t, i, 3))) as tris
+            from words
+        ), sc as (
+            select *, """
+        + _lang_scores_duckdb()
+        + r"""
+            from tri
         )
         select doc_id,
                length(text) as n_chars,
@@ -1279,13 +1319,11 @@ def oracle_sql() -> dict[str, str]:
                               / greatest(len(w), 1), 6) >= 0.01
                          then 1.0 else 0.0 end)
                ) / 3.0, 6) as quality_score,
-               case when len(list_filter(w, x -> x in ('the','and','of'))) > 0 then 'en'
-                    when len(list_filter(w, x -> x in ('der','die','und'))) > 0 then 'de'
-                    when len(list_filter(w, x -> x in ('le','la','et'))) > 0 then 'fr'
-                    when len(list_filter(w, x -> x in ('el','los','que'))) > 0 then 'es'
-                    else 'unknown' end as lang_guess,
+               """
+        + _lang_guess_duckdb()
+        + r""" as lang_guess,
                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) as fingerprint
-        from words order by doc_id
+        from sc order by doc_id
         """,
         "dedup_exact": _ORACLE_DOCS2
         + r"""
