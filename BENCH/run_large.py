@@ -77,11 +77,137 @@ print("RESULT " + json.dumps({
 """
 
 
+_SKEW_WORKER = r"""
+import json, sys, time, urllib.request
+sys.path.insert(0, "__REPO__")
+from medea_spark.corpus import corpus_schema_graph, generate_corpus
+from medea_spark.engine import validate_table
+from medea_spark.engine.session import get_spark
+
+cpus = int(sys.argv[1]); rows = int(sys.argv[2]); path = sys.argv[3]
+# The Spark UI is normally off; the skew bench needs its REST API for
+# per-task runtime quantiles of the kernel stage.
+spark = get_spark(app_name=f"medea-skew-{rows}", cores=cpus,
+                  shuffle_partitions=max(2 * cpus, 32),
+                  extra_conf={"spark.ui.enabled": "true"})
+spark.sparkContext.setLogLevel("ERROR")
+api = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{spark.sparkContext.applicationId}"
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+def completed_stage_ids():
+    return {(s["stageId"], s["attemptId"]) for s in _get(f"{api}/stages?status=complete")}
+
+def kernel_stage_summary(before):
+    stages = [s for s in _get(f"{api}/stages?status=complete")
+              if (s["stageId"], s["attemptId"]) not in before]
+    # the kernel stage dominates executor time among the run's stages
+    top = max(stages, key=lambda s: s["executorRunTime"])
+    q = _get(f"{api}/stages/{top['stageId']}/{top['attemptId']}/taskSummary"
+             "?quantiles=0.5,0.99,1.0")
+    ms = q["executorRunTime"]
+    return {"tasks": top["numCompleteTasks"],
+            "task_p50_s": round(ms[0] / 1000, 2),
+            "task_p99_s": round(ms[1] / 1000, 2),
+            "task_max_s": round(ms[2] / 1000, 2)}
+
+t0 = time.monotonic()
+# giant_share_pct=50: one monorepo holds ~half of all rows.
+generate_corpus(spark, rows, seed=42, num_partitions=cpus * 4, heft=8,
+                unique_content=True, giant_share_pct=50
+                ).write.mode("overwrite").parquet(path)
+gen_sec = time.monotonic() - t0
+corpus = spark.read.parquet(path)
+graph = corpus_schema_graph()
+
+# Warm the Arrow worker pool so neither variant is charged imports.
+validate_table(corpus.limit(50_000), graph, num_partitions=cpus,
+               repartition=True).summary.collect()
+
+out = {"cpus": cpus, "gen_sec": round(gen_sec, 1)}
+for name, skewed in (("salted", ["repo-mono"]), ("unsalted", None)):
+    before = completed_stage_ids()
+    t0 = time.monotonic()
+    run = validate_table(corpus, graph, num_partitions=max(2 * cpus, 32),
+                         skewed_keys=skewed, repartition=True)
+    summary = run.summary.collect()
+    wall = time.monotonic() - t0
+    s = kernel_stage_summary(before)
+    s["wall_s"] = round(wall, 2)
+    s["rows"] = sum(r["rows"] for r in summary)
+    out[name] = s
+
+print("RESULT " + json.dumps(out))
+"""
+
+
+def run_skew(args) -> None:
+    scratch = tempfile.mkdtemp(prefix="medea_skew_")
+    path = f"{scratch}/corpus.parquet"
+    script = _SKEW_WORKER.replace("__REPO__", str(REPO))
+    cmd = [sys.executable, "-c", script, str(args.cpus), str(args.rows), path]
+    if shutil_which("taskset"):
+        cmd = ["taskset", "-c", f"0-{args.cpus - 1}"] + cmd
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=str(REPO))
+    except subprocess.CalledProcessError as exc:
+        sys.stderr.write(exc.stdout or "")
+        sys.stderr.write(exc.stderr or "")
+        raise
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    res = None
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            res = json.loads(line[len("RESULT "):])
+    if res is None:
+        raise RuntimeError(f"no RESULT line:\n{out.stdout}\n{out.stderr}")
+    print(json.dumps(res, indent=2))
+
+    sa, un = res["salted"], res["unsalted"]
+    md = f"""
+
+## Skew stress: giant monorepo at ~50% of rows ({args.rows:,} rows)
+
+Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by
+`python BENCH/run_large.py --skew --rows {args.rows} --cpus {args.cpus}`
+(taskset-pinned local[{args.cpus}], unique-content corpus with
+`giant_share_pct=50` — one repo holds half of all rows).  Both variants
+run the same `validate_table(..., repartition=True)` plan; per-task
+executorRunTime quantiles of the kernel stage come from the Spark REST
+API.
+
+| variant | wall | kernel tasks | task p50 | task p99 | task max | p99/p50 |
+|---|---|---|---|---|---|---|
+| salted (`skewed_keys=['repo-mono']`) | {sa['wall_s']:.1f} s | {sa['tasks']} | {sa['task_p50_s']:.2f} s | {sa['task_p99_s']:.2f} s | {sa['task_max_s']:.2f} s | {sa['task_p99_s'] / max(sa['task_p50_s'], 0.01):.1f}× |
+| unsalted (`skewed_keys=None`) | {un['wall_s']:.1f} s | {un['tasks']} | {un['task_p50_s']:.2f} s | {un['task_p99_s']:.2f} s | {un['task_max_s']:.2f} s | {un['task_p99_s'] / max(un['task_p50_s'], 0.01):.1f}× |
+
+Reading: without salting the monorepo's rows hash to ONE partition, so
+the kernel stage ends on a single straggler task carrying ~half the
+corpus (task max ≈ wall); deterministic path-hash salting spreads the
+same rows over 16 salt buckets and the straggler disappears (p99 within
+a small factor of the median).  AQE cannot fix this — it rebalances
+joins, not map-stage UDF input — which is why the engine salts
+explicitly and deterministically (checkpoint resume still works).
+"""
+    with open(REPO / "BENCH" / "LARGE.md", "a") as f:
+        f.write(md)
+    print(f"appended skew section to {REPO / 'BENCH' / 'LARGE.md'}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=30_000_000)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--skew", action="store_true",
+                    help="skew-stress mode: 50%%-monorepo corpus, salted vs "
+                         "unsalted task-time quantiles appended to LARGE.md")
     args = ap.parse_args()
+    if args.skew:
+        run_skew(args)
+        return
 
     scratch = tempfile.mkdtemp(prefix="medea_large_")
     path = f"{scratch}/corpus.parquet"
