@@ -102,16 +102,23 @@ def completed_stage_ids():
 
 def kernel_stage_summary(before):
     stages = [s for s in _get(f"{api}/stages?status=complete")
-              if (s["stageId"], s["attemptId"]) not in before]
-    # the kernel stage dominates executor time among the run's stages
-    top = max(stages, key=lambda s: s["executorRunTime"])
-    q = _get(f"{api}/stages/{top['stageId']}/{top['attemptId']}/taskSummary"
-             "?quantiles=0.5,0.99,1.0")
-    ms = q["executorRunTime"]
-    return {"tasks": top["numCompleteTasks"],
-            "task_p50_s": round(ms[0] / 1000, 2),
-            "task_p99_s": round(ms[1] / 1000, 2),
-            "task_max_s": round(ms[2] / 1000, 2)}
+              if (s["stageId"], s["attemptId"]) not in before
+              and s["numCompleteTasks"] > 0]
+    # Identify the kernel stage as the one with the LONGEST single task:
+    # summing executorRunTime instead picks the wide-but-cheap scan/
+    # exchange stage over a stage whose one straggler IS the story.
+    best = None
+    for s in stages:
+        q = _get(f"{api}/stages/{s['stageId']}/{s['attemptId']}/taskSummary"
+                 "?quantiles=0.5,0.99,1.0")
+        ms = q["executorRunTime"]
+        cand = {"tasks": s["numCompleteTasks"],
+                "task_p50_s": round(ms[0] / 1000, 2),
+                "task_p99_s": round(ms[1] / 1000, 2),
+                "task_max_s": round(ms[2] / 1000, 2)}
+        if best is None or cand["task_max_s"] > best["task_max_s"]:
+            best = cand
+    return best
 
 t0 = time.monotonic()
 # giant_share_pct=50: one monorepo holds ~half of all rows.

@@ -58,10 +58,19 @@ def with_partition_columns(
     key_col: str = "repo",
     salt_col: str = "path",
     skewed_keys: list[str] | None = None,
-    salt_buckets: int = 16,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Add deterministic ``part_id`` (repo-hash bucket) and ``salt_id``
-    (0 for normal repos; a path-hash bucket for giant monorepos)."""
+    (0 for normal repos; a path-hash bucket for giant monorepos).
+
+    ``salt_buckets`` defaults to ``num_partitions``: a repo big enough
+    to be salted should spread over ALL partitions, not a fixed 16 —
+    the 30M-row skew bench showed 16 buckets hashed into 64 partitions
+    collide (two buckets in one partition → a 2× straggler), while
+    bucket-count == partition-count keeps the hot repo's per-partition
+    share at its fair 1/num_partitions."""
+    if salt_buckets is None:
+        salt_buckets = num_partitions
     part = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions)).cast("int")
     if skewed_keys:
         salt = (
@@ -82,7 +91,7 @@ def repartition_for_validation(
     key_col: str = "repo",
     salt_col: str = "path",
     skewed_keys: list[str] | None = None,
-    salt_buckets: int = 16,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """The single exchange of the validation pipeline: co-locate rows by
     salted repo hash so the UDF stage is balanced and every downstream
