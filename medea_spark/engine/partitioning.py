@@ -63,14 +63,17 @@ def with_partition_columns(
     """Add deterministic ``part_id`` (repo-hash bucket) and ``salt_id``
     (0 for normal repos; a path-hash bucket for giant monorepos).
 
-    ``salt_buckets`` defaults to ``num_partitions``: a repo big enough
-    to be salted should spread over ALL partitions, not a fixed 16 —
-    the 30M-row skew bench showed 16 buckets hashed into 64 partitions
-    collide (two buckets in one partition → a 2× straggler), while
-    bucket-count == partition-count keeps the hot repo's per-partition
-    share at its fair 1/num_partitions."""
+    ``salt_buckets`` defaults to ``4 × num_partitions``: a repo big
+    enough to be salted should spread over ALL partitions, and the
+    exchange re-hashes our bucket ids, so bucket granularity must be
+    finer than the partition count for balls-in-bins collisions to
+    average out (the 30M-row skew bench measured a fixed 16 buckets
+    into 64 partitions at a 5× straggler, and exactly num_partitions
+    buckets still ~3× — max bin of B balls in B bins is ~3; at 4×
+    granularity each hot-bucket share is a quarter as heavy and the
+    max partition load converges toward fair share)."""
     if salt_buckets is None:
-        salt_buckets = num_partitions
+        salt_buckets = 4 * num_partitions
     part = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions)).cast("int")
     if skewed_keys:
         salt = (
