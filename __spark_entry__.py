@@ -1304,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
                case when length(trim(text)) = 0 then 0
                     else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens_ws,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as n_tokens_bpe,
+               len(tris) as n_trigrams,
                round(cast(len(list_filter(w, x -> x in ('a','an','and','in','is','of','or','the','to'))) as double)
                      / greatest(len(w), 1), 6) as stopword_ratio,
                round(cast(length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[A-Za-z0-9]', '', 'g')) as double)

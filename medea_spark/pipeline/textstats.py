@@ -216,24 +216,45 @@ def doc_trigrams(col: Column | str) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, F.lit(3))))
 
 
-def lang_id(col: Column | str) -> Column:
-    """Char-trigram language guess over ``LANG_ORDER`` languages:
-    distinct doc trigrams are intersected with each language's top-150
-    seed-profile trigrams, highest overlap wins (ties break in declared
-    language order), overlap < LANG_MIN_OVERLAP → 'unknown'.
+def lang_scores(trigrams_col: Column | str) -> Column:
+    """``array<int>`` of per-language trigram overlaps in ``LANG_ORDER``
+    order, over a :func:`doc_trigrams` column.  ALL profiles live in
+    one 2-D literal node and the scores come from a single
+    ``transform`` lambda.
 
-    Pure columnar: one array_intersect per language against one literal
-    array node — no UDF, no shuffle, compile-light."""
-    tris = doc_trigrams(col)
-    scores = {
-        lang: F.size(F.array_intersect(tris, F.lit(list(profile))))
-        for lang, profile in LANG_PROFILES.items()
-    }
-    best = F.greatest(*scores.values())
-    expr = F.lit("unknown")
-    for lang in reversed(LANG_ORDER):
-        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
-    return F.when(best < LANG_MIN_OVERLAP, F.lit("unknown")).otherwise(expr)
+    Higher-order-function lambdas run INTERPRETED and Catalyst
+    re-evaluates an expression per *reference* — including an outer
+    expression CAPTURED inside a lambda, which re-runs once per array
+    element.  Pass an attribute of an already-staged trigram column
+    (see :func:`text_profile`) so the trigram pipeline runs once per
+    row; handing this a raw ``doc_trigrams(text)`` expression works
+    but pays 7× (once per language profile)."""
+    tris = (
+        trigrams_col if isinstance(trigrams_col, Column) else F.col(trigrams_col)
+    )
+    profiles = F.lit([list(LANG_PROFILES[lang]) for lang in LANG_ORDER])
+    return F.transform(profiles, lambda p: F.size(F.array_intersect(tris, p)))
+
+
+def lang_guess_from_scores(scores: Column) -> Column:
+    """Argmax over a (cheap-to-reference) scores column:
+    ``array_position`` returns the FIRST index of the max — exactly the
+    declared-order tie-break; best < LANG_MIN_OVERLAP → 'unknown'."""
+    best = F.array_max(scores)
+    return F.when(best < LANG_MIN_OVERLAP, F.lit("unknown")).otherwise(
+        F.element_at(
+            F.lit(list(LANG_ORDER)), F.array_position(scores, best).cast("int")
+        )
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Char-trigram language guess as a single Column expression —
+    convenient for ad-hoc use, but the trigram+scores subtree is
+    re-evaluated per reference, so prefer the staged ``doc_trigrams``
+    → ``lang_scores`` → ``lang_guess_from_scores`` split (as
+    text_profile does) in hot paths."""
+    return lang_guess_from_scores(lang_scores(doc_trigrams(col)))
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -245,16 +266,40 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per document with every text statistic."""
+    """One row per document with every text statistic.
+
+    The trigram array and the language scores are each staged as named
+    columns so the interpreted-HOF pipeline runs once per row: a lambda
+    CAPTURING the trigram expression re-runs it per profile element
+    (7×), and the argmax references the scores three times.
+    SPARK-36718 keeps CollapseProject from inlining expensive
+    expressions referenced more than once, so the staged selects
+    survive optimization."""
     c = F.col(text_col)
-    return df.select(
+    staged = df.select(
+        F.col(id_col), c.alias("_tp_text"), doc_trigrams(c).alias("_tp_tris")
+    ).select(
         F.col(id_col),
-        F.length(c).alias("n_chars"),
-        token_count_ws(c).alias("n_tokens_ws"),
-        token_count_bpe(c).alias("n_tokens_bpe"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        punct_ratio(c).alias("punct_ratio"),
-        quality_score(c).alias("quality_score"),
-        lang_id(c).alias("lang_guess"),
-        fingerprint(c).alias("fingerprint"),
+        F.col("_tp_text"),
+        # The second _tp_tris reference (n_trigrams below) is
+        # load-bearing: with only the lambda-captured reference,
+        # CollapseProject + column pruning merge the trigram projection
+        # back INTO the lambda, where it re-runs once per profile
+        # element (7×).  n_trigrams is also a genuinely useful lexical-
+        # diversity stat (distinct trigrams of the normalized text).
+        F.size(F.col("_tp_tris")).alias("n_trigrams"),
+        lang_scores(F.col("_tp_tris")).alias("_tp_lang_scores"),
+    )
+    t = F.col("_tp_text")
+    return staged.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.col("n_trigrams"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        quality_score(t).alias("quality_score"),
+        lang_guess_from_scores(F.col("_tp_lang_scores")).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
     )
