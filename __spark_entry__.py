@@ -1037,6 +1037,66 @@ def q_checkpoint_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (pipeline/sampling.py): each
+    event_type stratum keeps its own md5-hash-selected fraction — the
+    SAME rows every run and every engine, so DuckDB reproduces the full
+    selected row set bit-exactly (not just the counts)."""
+    from medea_spark.pipeline import stratified_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stratified_sample(
+        ev,
+        "event_type",
+        "event_id",
+        {"click": 0.5, "error": 1.0},
+        default_rate=0.1,
+    ).select("event_id", "event_type").orderBy("event_id")
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (pipeline/sessions.py): per-user
+    session summary with 30-minute inactivity gap, all arithmetic in
+    integral microseconds so DuckDB's window replay is hash-exact."""
+    from medea_spark.pipeline import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return session_stats(ev, gap_minutes=30).orderBy("user_id", "session_idx")
+
+
+def q_temporal_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of schema-version validation (engine/temporal.py): each event
+    is judged by the schema ACTIVE AT ITS EVENT TIME.  History: nothing
+    before 01:00 on day one (those rows fail NO_ACTIVE_SCHEMA), the
+    any-schema v1 until Jan 5 (only NOT_JSON can fail), the closed
+    {"k": number} object schema v2 after.  Version assignment is a
+    codegen aggregate over literal boundaries — no join, no shuffle."""
+    from datetime import datetime
+
+    from medea_spark.engine import SchemaVersion, validate_table_versioned
+
+    versions = [
+        SchemaVersion(1, datetime(2024, 1, 1, 1, 0, 0), compile_schema_text("$schema $start\n")),
+        SchemaVersion(2, datetime(2024, 1, 5), _events_graph()),
+    ]
+    df = _events_with_content(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "content"
+    )
+    out = validate_table_versioned(df, versions)
+    return out.select(
+        "event_id",
+        "schema_version",
+        "is_valid",
+        # F.get (not getItem): ANSI mode throws on out-of-bounds, and
+        # valid rows have an EMPTY violations array.
+        F.get(F.col("violations"), 0)
+        .getField("failed_constraint")
+        .alias("first_violation"),
+    ).orderBy("event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship at sf0.001: kernel validation over the JSON column with
     the violation census."""
@@ -1080,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "repo_violation_state": q_repo_violation_state,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
+        "stratified_sample_events": q_stratified_sample_events,
+        "sessionize_events": q_sessionize_events,
+        "temporal_validate_events": q_temporal_validate_events,
         "dedup_validate": q_dedup_validate,
     }
 
@@ -1672,6 +1735,57 @@ def oracle_sql() -> dict[str, str]:
         from read_parquet('{_CKPT_ORACLE_BASE}/stage/run={_ckpt_stage_key()}/*/*.parquet',
                           hive_partitioning = true)
         group by part_id order by part_id
+        """,
+        "stratified_sample_events": """
+        select event_id, event_type from events
+        where cast(('0x' || substr(md5('42:' || cast(event_id as varchar)), 1, 15)) as bigint)
+              < cast(floor((case event_type when 'click' then 0.5
+                                            when 'error' then 1.0
+                                            else 0.1 end) * 1152921504606846976.0) as bigint)
+        order by event_id
+        """,
+        "sessionize_events": """
+        with e as (
+            select user_id, event_id, epoch_us(ts) as tu from events
+        ), marks as (
+            select *, case when lag(tu) over (partition by user_id order by tu, event_id) is null
+                             or tu - lag(tu) over (partition by user_id order by tu, event_id) > 1800000000
+                           then 1 else 0 end as ns
+            from e
+        ), sess as (
+            select *, cast(sum(ns) over (partition by user_id order by tu, event_id) as int) as session_idx
+            from marks
+        )
+        select user_id, session_idx,
+               count(*) as n_events,
+               min(event_id) as first_event_id,
+               max(event_id) as last_event_id,
+               cast(floor((max(tu) - min(tu)) / 1000000.0) as bigint) as duration_sec
+        from sess group by user_id, session_idx
+        order by user_id, session_idx
+        """,
+        "temporal_validate_events": f"""
+        with mutated as (
+            select event_id, ts, ({_ORACLE_CONTENT}) as content from events
+        ), judged as (
+            select event_id, ts, content,
+                   ({_ORACLE_CONSTRAINT}) as failed_constraint
+            from mutated
+        )
+        select event_id,
+               case when ts < timestamp '2024-01-01 01:00:00' then cast(null as int)
+                    when ts < timestamp '2024-01-05 00:00:00' then 1
+                    else 2 end as schema_version,
+               case when ts < timestamp '2024-01-01 01:00:00' then false
+                    when ts < timestamp '2024-01-05 00:00:00'
+                         then (content is not null and json_valid(content))
+                    else failed_constraint is null end as is_valid,
+               case when ts < timestamp '2024-01-01 01:00:00' then 'NO_ACTIVE_SCHEMA'
+                    when ts < timestamp '2024-01-05 00:00:00'
+                         then (case when content is null or not json_valid(content)
+                                    then 'NOT_JSON' end)
+                    else failed_constraint end as first_violation
+        from judged order by event_id
         """,
         "media_features": """
         select doc_id as media_id,

@@ -20,6 +20,13 @@ from medea_spark.engine.io import (
     write_table,
 )
 from medea_spark.engine.session import get_spark
+from medea_spark.engine.temporal import (
+    NO_ACTIVE_SCHEMA,
+    SchemaVersion,
+    assign_schema_version,
+    make_versioned_validation_udf,
+    validate_table_versioned,
+)
 from medea_spark.engine.validate import (
     RESULT_STRUCT,
     VIOLATION_STRUCT,
@@ -29,6 +36,11 @@ from medea_spark.engine.validate import (
 )
 
 __all__ = [
+    "NO_ACTIVE_SCHEMA",
+    "SchemaVersion",
+    "assign_schema_version",
+    "make_versioned_validation_udf",
+    "validate_table_versioned",
     "ANNOTATED_RESULT",
     "ANNOTATION_NODE",
     "annotate_sample",

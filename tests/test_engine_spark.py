@@ -329,3 +329,98 @@ def test_annotate_sample_agrees_with_kernel_on_nonstandard_json(spark):
     assert rows[1].is_valid is False and rows[1].annotation is None
     assert rows[2].is_valid is False
     assert rows[3].is_valid is True
+
+
+def test_assign_schema_version_boundaries(spark):
+    """Version = latest effective_from <= ts; NULL before history."""
+    from datetime import datetime
+
+    from medea_spark.engine import SchemaVersion, assign_schema_version
+    from medea_spark.compiler import compile_schema_text
+
+    g = compile_schema_text("$schema $start\n    $type\n        $number\n")
+    versions = [
+        SchemaVersion(1, datetime(2024, 1, 1), g),
+        SchemaVersion(2, datetime(2024, 6, 1), g),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2023, 12, 31, 23, 59, 59)),
+            (2, datetime(2024, 1, 1, 0, 0, 0)),  # inclusive boundary
+            (3, datetime(2024, 5, 31, 23, 59, 59)),
+            (4, datetime(2024, 6, 1, 0, 0, 0)),
+            (5, datetime(2025, 1, 1)),
+        ],
+        ["i", "ts"],
+    )
+    got = {
+        r.i: r.v
+        for r in df.select(
+            "i", assign_schema_version(F.col("ts"), versions).alias("v")
+        ).collect()
+    }
+    assert got == {1: None, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_assign_schema_version_rejects_shuffled_history():
+    from datetime import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from medea_spark.engine import SchemaVersion, assign_schema_version
+    from medea_spark.compiler import compile_schema_text
+
+    g = compile_schema_text("$schema $start\n    $type\n        $number\n")
+    with pytest.raises(ValueError, match="effective_from order"):
+        assign_schema_version(
+            F.lit("2024-01-01").cast("timestamp"),
+            [
+                SchemaVersion(2, datetime(2024, 6, 1), g),
+                SchemaVersion(1, datetime(2024, 1, 1), g),
+            ],
+        )
+
+
+def test_validate_table_versioned_dispatches_per_row(spark):
+    """Rows are judged by the schema ACTIVE AT THEIR EVENT TIME: the
+    same content flips verdict across the version boundary, and rows
+    before any version fail with NO_ACTIVE_SCHEMA."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.engine import (
+        NO_ACTIVE_SCHEMA,
+        SchemaVersion,
+        validate_table_versioned,
+    )
+
+    number_schema = compile_schema_text("$schema $start\n    $type\n        $number\n")
+    string_schema = compile_schema_text("$schema $start\n    $type\n        $string\n")
+    versions = [
+        SchemaVersion(1, datetime(2024, 1, 1), number_schema),
+        SchemaVersion(2, datetime(2024, 6, 1), string_schema),
+    ]
+    rows = [
+        (1, datetime(2023, 1, 1), "5"),      # pre-history
+        (2, datetime(2024, 2, 1), "5"),      # v1: number → valid
+        (3, datetime(2024, 7, 1), "5"),      # v2: string → invalid
+        (4, datetime(2024, 2, 1), '"x"'),    # v1 → invalid
+        (5, datetime(2024, 7, 1), '"x"'),    # v2 → valid
+        (6, datetime(2024, 7, 1), None),     # NULL content → NOT_JSON
+    ]
+    df = spark.createDataFrame(rows, ["i", "ts", "content"])
+    out = {
+        r.i: (r.schema_version, r.is_valid, [v.failed_constraint for v in r.violations])
+        for r in validate_table_versioned(df, versions).collect()
+    }
+    assert out[1] == (None, False, [NO_ACTIVE_SCHEMA])
+    assert out[2] == (1, True, [])
+    assert out[3][0:2] == (2, False)
+    assert out[4][0:2] == (1, False)
+    assert out[5] == (2, True, [])
+    assert out[6] == (2, False, ["NOT_JSON"])

@@ -587,3 +587,81 @@ def test_simhash_rejects_in_range_sentinel(spark):
         simhash(df, "doc_id", "text", empty_sentinel=0)
     with pytest.raises(ValueError, match="empty_sentinel"):
         simhash(df, "doc_id", "text", empty_sentinel=(1 << 59))
+
+
+# --- deterministic sampling -------------------------------------------------
+
+
+def test_deterministic_sample_reproducible_and_nested(spark):
+    """Same rows every run; and because the predicate is hash <
+    rate*space, a lower rate's sample is a SUBSET of a higher rate's —
+    the property that makes staged sample-size sweeps consistent."""
+    from medea_spark.pipeline import deterministic_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    a1 = {r.k for r in deterministic_sample(df, "k", 0.2).collect()}
+    a2 = {r.k for r in deterministic_sample(df, "k", 0.2).collect()}
+    b = {r.k for r in deterministic_sample(df, "k", 0.5).collect()}
+    assert a1 == a2
+    assert a1 <= b
+    assert abs(len(a1) / 20_000 - 0.2) < 0.02
+    assert abs(len(b) / 20_000 - 0.5) < 0.02
+
+
+def test_stratified_sample_rates(spark):
+    from medea_spark.pipeline import stratified_sample
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = stratified_sample(
+        df, "lang", "k", {"en": 0.1, "de": 1.0}, default_rate=0.0
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 10_000  # rate 1.0 keeps everything
+    assert "fr" not in counts  # default 0.0 drops unlisted strata
+    assert abs(counts["en"] / 10_000 - 0.1) < 0.02
+
+
+# --- sessionization ---------------------------------------------------------
+
+
+def test_sessionize_exact_assignment(spark):
+    from datetime import datetime
+
+    from medea_spark.pipeline import session_stats, sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minute):
+        return datetime(2024, 1, 1, 0, 0, 0).replace(minute=minute)
+
+    rows = [
+        # user 1: events at 0, 10, 55 min → gap 45 min splits a 30-min session
+        (1, 1, at(0)),
+        (2, 1, at(10)),
+        (3, 1, at(55)),
+        # user 2: single event
+        (4, 2, at(5)),
+        # user 1 tie on ts with event 1 → deterministic id ordering
+        (0, 1, at(0)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        r.event_id: (r.session_idx, r.session_id)
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got[0] == (1, "1-1") and got[1] == (1, "1-1") and got[2] == (1, "1-1")
+    assert got[3] == (2, "1-2")
+    assert got[4] == (1, "2-1")
+    stats = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_sec, r.first_event_id)
+        for r in session_stats(df, gap_minutes=30).collect()
+    }
+    assert stats[(1, 1)] == (3, 600, 0)
+    assert stats[(1, 2)] == (1, 0, 3)
+    assert stats[(2, 1)] == (1, 0, 4)
