@@ -1097,6 +1097,29 @@ def q_temporal_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a candidate-pair graph
+    (pipeline/components.py): a deterministic edge set with REAL
+    multi-hop chains — doc d links to d+1 whenever the portable md5
+    hash of d lands in a third of the space, producing variable-length
+    runs — so min-label propagation must actually iterate.  DuckDB
+    replays the clustering with a recursive CTE (min reachable id)."""
+    from medea_spark.pipeline import duplicate_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cc:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    edges = docs.filter(h % 3 == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    return duplicate_clusters(edges).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship at sf0.001: kernel validation over the JSON column with
     the violation census."""
@@ -1143,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_events": q_stratified_sample_events,
         "sessionize_events": q_sessionize_events,
         "temporal_validate_events": q_temporal_validate_events,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_validate": q_dedup_validate,
     }
 
@@ -1786,6 +1810,27 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_JSON' end)
                     else failed_constraint end as first_violation
         from judged order by event_id
+        """,
+        "dedup_clusters": """
+        with recursive e as (
+            select doc_id as a, doc_id + 1 as b from documents
+            where doc_id < 500
+              and cast(('0x' || substr(md5('cc:' || cast(doc_id as varchar)), 1, 15)) as bigint) % 3 = 0
+        ), sym as (
+            select a as u, b as v from e
+            union
+            select b as u, a as v from e
+        ), nodes as (
+            select distinct u as node from sym
+        ), reach(node, label) as (
+            select node, node from nodes
+            union
+            select s.v, r.label from reach r join sym s on s.u = r.node
+        )
+        select node as doc_id,
+               min(label) as cluster_id,
+               (node = min(label)) as is_keeper
+        from reach group by node order by doc_id
         """,
         "media_features": """
         select doc_id as media_id,

@@ -26,6 +26,10 @@ from medea_spark.pipeline.multimodal import (
     frame_sample_plan,
     synthetic_media_table,
 )
+from medea_spark.pipeline.components import (
+    connected_components,
+    duplicate_clusters,
+)
 from medea_spark.pipeline.sampling import (
     deterministic_sample,
     sample_predicate,
@@ -75,7 +79,9 @@ __all__ = [
     "LANG_ORDER",
     "LANG_PROFILES",
     "doc_trigrams",
+    "connected_components",
     "deterministic_sample",
+    "duplicate_clusters",
     "lang_id",
     "lang_id_keyword",
     "sample_predicate",

@@ -665,3 +665,55 @@ def test_sessionize_exact_assignment(spark):
     assert stats[(1, 1)] == (3, 600, 0)
     assert stats[(1, 2)] == (1, 0, 3)
     assert stats[(2, 1)] == (1, 0, 4)
+
+
+# --- connected components ---------------------------------------------------
+
+
+def test_connected_components_shapes(spark):
+    """Chain (multi-hop propagation), cycle, star, and two disjoint
+    components — labels must be the min node id of each component."""
+    from medea_spark.pipeline import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+        (10, 11), (11, 12), (12, 10),    # cycle
+        (20, 21), (20, 22), (20, 23),    # star
+        (31, 30),                        # reversed edge direction
+    ]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from medea_spark.pipeline import connected_components
+
+    n = 12
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_diameter_guard(spark):
+    import pytest
+
+    from medea_spark.pipeline import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_duplicate_clusters_keeper(spark):
+    from medea_spark.pipeline import duplicate_clusters
+
+    pairs = spark.createDataFrame([(5, 9), (9, 7), (100, 101)], ["doc_a", "doc_b"])
+    rows = {r.doc_id: (r.cluster_id, r.is_keeper) for r in duplicate_clusters(pairs).collect()}
+    assert rows == {5: (5, True), 9: (5, False), 7: (5, False),
+                    100: (100, True), 101: (100, False)}
