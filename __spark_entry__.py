@@ -1120,6 +1120,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(edges).orderBy("doc_id")
 
 
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (pipeline/sampling.py): per-lang
+    keep-rates are computed from aggregate token totals to hit a
+    20k-token budget at 60/20/20 en/de/fr weights, then the
+    deterministic hash predicate selects rows.  DuckDB recomputes the
+    totals, the rates (same IEEE double arithmetic, same operation
+    order), and the exact selected row set."""
+    from medea_spark.pipeline import build_training_mix
+    from medea_spark.pipeline.textstats import token_count_ws
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mix, _rates = build_training_mix(
+        docs,
+        "lang",
+        "doc_id",
+        token_count_ws(F.col("text")),
+        {"en": 0.6, "de": 0.2, "fr": 0.2},
+        token_budget=20_000,
+    )
+    return mix.select("doc_id", "lang").orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship at sf0.001: kernel validation over the JSON column with
     the violation census."""
@@ -1167,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "temporal_validate_events": q_temporal_validate_events,
         "dedup_clusters": q_dedup_clusters,
+        "training_mix": q_training_mix,
         "dedup_validate": q_dedup_validate,
     }
 
@@ -1831,6 +1854,31 @@ def oracle_sql() -> dict[str, str]:
                min(label) as cluster_id,
                (node = min(label)) as is_keeper
         from reach group by node order by doc_id
+        """,
+        "training_mix": r"""
+        with toks as (
+            select doc_id, lang,
+                   case when length(trim(text)) = 0 then 0
+                        else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens
+            from documents
+        ), totals as (
+            select lang, sum(n_tokens) as tot from toks
+            where lang in ('en', 'de', 'fr') group by lang
+        ), rates as (
+            -- mirror the engine's float arithmetic exactly:
+            -- (budget * weight) / total, all double, same op order
+            select lang,
+                   least(cast(1.0 as double),
+                         (20000 * (case lang when 'en' then cast(0.6 as double)
+                                             when 'de' then cast(0.2 as double)
+                                             else cast(0.2 as double) end)) / tot) as rate
+            from totals
+        )
+        select t.doc_id, t.lang
+        from toks t join rates r using (lang)
+        where cast(('0x' || substr(md5('42:' || cast(t.doc_id as varchar)), 1, 15)) as bigint)
+              < cast(floor(r.rate * 1152921504606846976.0) as bigint)
+        order by t.doc_id
         """,
         "media_features": """
         select doc_id as media_id,

@@ -47,6 +47,57 @@ def deterministic_sample(
     return df.filter(sample_predicate(F.col(key_col).cast("string"), rate, seed))
 
 
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    token_col,
+    weights: dict[str, float],
+    token_budget: int,
+) -> dict[str, float]:
+    """Per-stratum keep-rates that hit ``token_budget`` total tokens at
+    the target mixture ``weights`` (e.g. 60%% en / 20%% de / 20%% fr).
+
+    One partial-aggregated groupBy over (strata, tokens) — a tiny
+    driver-side dict comes back, never rows.  ``rate_s = min(1,
+    budget·w_s / tokens_s)``: a stratum too small for its target share
+    caps at keeping everything (the mix then under-delivers that
+    stratum rather than inventing data).  ``token_col`` may be a column
+    name or expression (e.g. ``token_count_ws(text)``)."""
+    token_expr = F.col(token_col) if isinstance(token_col, str) else token_col
+    totals = {
+        r["s"]: r["t"]
+        for r in df.filter(F.col(strata_col).isin(list(weights)))
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(token_expr).alias("t"))
+        .collect()
+    }
+    rates = {}
+    for stratum, w in weights.items():
+        total = totals.get(stratum) or 0
+        rates[stratum] = 1.0 if total == 0 else min(1.0, (token_budget * w) / total)
+    return rates
+
+
+def build_training_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    token_col,
+    weights: dict[str, float],
+    token_budget: int,
+    seed: int = 42,
+) -> tuple[DataFrame, dict[str, float]]:
+    """The mix in one call: compute :func:`mixture_rates`, apply
+    :func:`stratified_sample` (strata outside ``weights`` are dropped).
+    Returns (sampled rows, the rates used) — rates are part of the
+    lineage a reproducible training run must record."""
+    rates = mixture_rates(df, strata_col, token_col, weights, token_budget)
+    return (
+        stratified_sample(df, strata_col, key_col, rates, default_rate=0.0, seed=seed),
+        rates,
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

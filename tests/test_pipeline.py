@@ -717,3 +717,36 @@ def test_duplicate_clusters_keeper(spark):
     rows = {r.doc_id: (r.cluster_id, r.is_keeper) for r in duplicate_clusters(pairs).collect()}
     assert rows == {5: (5, True), 9: (5, False), 7: (5, False),
                     100: (100, True), 101: (100, False)}
+
+
+def test_training_mix_hits_budget_and_weights(spark):
+    """Rates land the sampled token total near the budget at the target
+    mixture; an undersized stratum caps at rate 1.0 (keep everything,
+    never invent data)."""
+    from medea_spark.pipeline import build_training_mix, mixture_rates
+    from medea_spark.pipeline.textstats import token_count_ws
+
+    df = spark.range(9_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("rare")
+        .alias("lang"),
+        F.lit(100).alias("n_tokens"),
+    )
+    weights = {"en": 0.5, "de": 0.3, "rare": 0.2}
+    budget = 60_000
+    rates = mixture_rates(df, "lang", "n_tokens", weights, budget)
+    # en: 30000/300000=0.1, de: 18000/300000=0.06, rare: 12000/300000=0.04
+    assert abs(rates["en"] - 0.1) < 1e-12 and abs(rates["de"] - 0.06) < 1e-12
+    mix, rates2 = build_training_mix(
+        df, "lang", "doc_id", "n_tokens", weights, budget
+    )
+    assert rates2 == rates
+    got = {r["lang"]: r["t"] for r in mix.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    for lang, w in weights.items():
+        assert abs(got[lang] - budget * w) / (budget * w) < 0.15
+    # undersized stratum caps at 1.0
+    tiny = df.filter((F.col("lang") != "rare") | (F.col("doc_id") < 30))
+    r3 = mixture_rates(tiny, "lang", "n_tokens", weights, budget)
+    assert r3["rare"] == 1.0
