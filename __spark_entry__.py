@@ -1142,6 +1142,33 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_check_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative check suite (checks/suite.py): seven expectations
+    over the events table compiled into ONE aggregate pass; DuckDB
+    recomputes every conditional count independently."""
+    from medea_spark.checks import (
+        accepted_values,
+        in_range,
+        matches,
+        min_rows,
+        not_null,
+        run_check_suite,
+        unique,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rules = [
+        not_null("user_id"),
+        not_null("props"),
+        in_range("value", 0.0, 15.0),
+        matches("event_type", "^[a-z]+$"),
+        accepted_values("event_type", ["click", "view", "purchase", "error"]),
+        unique(["event_id"]),
+        min_rows(1000),
+    ]
+    return run_check_suite(ev, rules).orderBy("rule_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship at sf0.001: kernel validation over the JSON column with
     the violation census."""
@@ -1190,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_validate_events": q_temporal_validate_events,
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
+        "check_suite_events": q_check_suite_events,
         "dedup_validate": q_dedup_validate,
     }
 
@@ -1879,6 +1907,35 @@ def oracle_sql() -> dict[str, str]:
         where cast(('0x' || substr(md5('42:' || cast(t.doc_id as varchar)), 1, 15)) as bigint)
               < cast(floor(r.rate * 1152921504606846976.0) as bigint)
         order by t.doc_id
+        """,
+        "check_suite_events": """
+        with m as (
+          select
+            cast(sum(case when user_id is null then 1 else 0 end) as bigint) as m_nn_user,
+            cast(sum(case when props is null then 1 else 0 end) as bigint) as m_nn_props,
+            cast(sum(case when value is not null and (value < 0.0 or value > 15.0) then 1 else 0 end) as bigint) as m_range,
+            cast(sum(case when event_type is not null and not regexp_matches(event_type, '^[a-z]+$') then 1 else 0 end) as bigint) as m_regex,
+            cast(sum(case when event_type is not null and event_type not in ('click','view','purchase','error') then 1 else 0 end) as bigint) as m_accept,
+            cast(count(*) - count(distinct event_id) as bigint) as m_uniq,
+            cast(count(*) as bigint) as m_rows
+          from events
+        )
+        select 'accepted_values:event_type' as rule_id, 'accepted_values' as kind,
+               'event_type' as "column", m_accept as metric,
+               cast(0 as bigint) as threshold, m_accept <= 0 as passed from m
+        union all select 'in_range:value', 'in_range', 'value', m_range,
+               cast(0 as bigint), m_range <= 0 from m
+        union all select 'matches:event_type', 'matches', 'event_type', m_regex,
+               cast(0 as bigint), m_regex <= 0 from m
+        union all select 'min_rows:1000', 'min_rows', '', m_rows,
+               cast(1000 as bigint), m_rows >= 1000 from m
+        union all select 'not_null:props', 'not_null', 'props', m_nn_props,
+               cast(0 as bigint), m_nn_props <= 0 from m
+        union all select 'not_null:user_id', 'not_null', 'user_id', m_nn_user,
+               cast(0 as bigint), m_nn_user <= 0 from m
+        union all select 'unique:event_id', 'unique', 'event_id', m_uniq,
+               cast(0 as bigint), m_uniq <= 0 from m
+        order by rule_id
         """,
         "media_features": """
         select doc_id as media_id,

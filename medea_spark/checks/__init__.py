@@ -8,12 +8,30 @@ from medea_spark.checks.drift import (
 )
 from medea_spark.checks.referential import orphan_rows, referential_report
 from medea_spark.checks.stats import column_stats, diff_tables, top_k
+from medea_spark.checks.suite import (
+    Rule,
+    accepted_values,
+    in_range,
+    matches,
+    min_rows,
+    not_null,
+    run_check_suite,
+    unique,
+)
 from medea_spark.checks.uniqueness import duplicate_keys, uniqueness_report
 
 __all__ = [
+    "Rule",
+    "accepted_values",
     "chi_square_p_value",
     "chi_square_statistic",
     "column_stats",
+    "in_range",
+    "matches",
+    "min_rows",
+    "not_null",
+    "run_check_suite",
+    "unique",
     "diff_tables",
     "drift_decision",
     "duplicate_keys",

@@ -101,3 +101,61 @@ def test_top_k_deterministic(spark):
     a = top_k(df, ["lang"], 3).collect()
     b = top_k(df, ["lang"], 3).collect()
     assert a == b and len(a) == 3
+
+
+def test_check_suite_single_pass(spark):
+    """Every rule kind in one aggregate; known data, exact metrics."""
+    from medea_spark.checks import (
+        accepted_values,
+        in_range,
+        matches,
+        min_rows,
+        not_null,
+        run_check_suite,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", 5.0),
+            (2, "view", 150.0),     # out of range
+            (3, None, 7.0),         # null type
+            (3, "click", 8.0),      # duplicate id
+            (5, "weird!", 9.0),     # regex + accepted fail
+        ],
+        ["event_id", "event_type", "value"],
+    )
+    rules = [
+        not_null("event_type"),
+        in_range("value", 0, 100),
+        matches("event_type", "^[a-z]+$"),
+        accepted_values("event_type", ["click", "view"]),
+        unique(["event_id"]),
+        min_rows(3),
+        min_rows(10, rule_id="min_rows:impossible"),
+    ]
+    got = {r.rule_id: (r.metric, r.passed) for r in run_check_suite(df, rules).collect()}
+    assert got["not_null:event_type"] == (1, False)
+    assert got["in_range:value"] == (1, False)
+    assert got["matches:event_type"] == (1, False)
+    assert got["accepted_values:event_type"] == (1, False)
+    assert got["unique:event_id"] == (1, False)
+    assert got["min_rows:3"] == (5, True)
+    assert got["min_rows:impossible"] == (5, False)
+    # tolerances flip the verdicts
+    got2 = {
+        r.rule_id: r.passed
+        for r in run_check_suite(
+            df, [not_null("event_type", max_violations=1)]
+        ).collect()
+    }
+    assert got2["not_null:event_type"] is True
+
+
+def test_check_suite_rejects_duplicate_ids(spark):
+    import pytest
+
+    from medea_spark.checks import min_rows, run_check_suite
+
+    with pytest.raises(ValueError, match="duplicate rule_ids"):
+        run_check_suite(spark.range(1), [min_rows(1, rule_id="x"), min_rows(2, rule_id="x")])
