@@ -15,6 +15,7 @@ from medea_spark.compiler.analyzer import (
     ident_to_node,
     prim_node,
 )
+from medea_spark.compiler.diff import is_backward_compatible, schema_diff
 from medea_spark.compiler.errors import (
     MedeaAnalysisError,
     MedeaError,
@@ -37,6 +38,8 @@ def load_schema(path: str) -> SchemaGraph:
 
 
 __all__ = [
+    "is_backward_compatible",
+    "schema_diff",
     "ANY_NODE",
     "ArraySpec",
     "CompiledSchema",

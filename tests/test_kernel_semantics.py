@@ -298,3 +298,32 @@ def test_parse_json_orjson_subset_property():
         assert structurally_equal(ov, sv)
 
     check()
+
+
+def test_schema_diff_and_compat():
+    """Structural diff between two schema versions: property add/remove,
+    optionality, enum change; the compatibility screen flags exactly
+    the acceptance-narrowing changes."""
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.compiler.diff import is_backward_compatible, schema_diff
+
+    v1 = compile_schema_text(
+        "$schema $start\n    $type\n        $object\n    $properties\n"
+        '        $property-name "k"\n        $property-schema $number\n'
+    )
+    v2 = compile_schema_text(
+        "$schema $start\n    $type\n        $object\n    $properties\n"
+        '        $property-name "k"\n        $property-schema $string\n'
+        '        $property-name "tag"\n        $property-schema $string\n'
+        "        $optional-property\n"
+    )
+    changes = schema_diff(v1, v2)
+    kinds = {(c["schema"], c["kind"], c["detail"]) for c in changes}
+    assert ("$start", "PROPERTY_SCHEMA_CHANGED", "k") in kinds
+    assert ("$start", "PROPERTY_ADDED", "tag") in kinds
+    ok, breaking = is_backward_compatible(v1, v2)
+    assert ok is False  # k: number -> string narrows acceptance
+    assert all(c["kind"] != "PROPERTY_ADDED" for c in breaking)  # optional add is fine
+    # identical graphs: no changes, compatible
+    assert schema_diff(v1, v1) == []
+    assert is_backward_compatible(v1, v1) == (True, [])
