@@ -1142,6 +1142,45 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.select("doc_id", "lang").orderBy("doc_id")
 
 
+_STREAM_DEDUP_INPUT = f"{_STAGE_ROOT}/stream_dedup_input"
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming.dedup_stream): events with
+    injected exact duplicates are replayed as a bounded multi-batch
+    file stream and deduped with dropDuplicatesWithinWatermark; the
+    surviving id set must equal DuckDB's batch DISTINCT over the same
+    staged bytes.  Event times are compressed into a 5-minute span
+    (inside the 10-minute watermark) so files replaying in arbitrary
+    order can never drop a row as LATE — only as a duplicate."""
+    import uuid
+
+    from medea_spark.streaming import dedup_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("event_id") % 300).alias("ts"),
+    )
+    staged = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
+    staged.repartition(6).write.mode("overwrite").parquet(_STREAM_DEDUP_INPUT)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(_STREAM_DEDUP_INPUT)
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(stream, ["event_id"], "ts", "10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_id").orderBy("event_id")
+
+
 def q_check_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative check suite (checks/suite.py): seven expectations
     over the events table compiled into ONE aggregate pass; DuckDB
@@ -1218,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
+        "stream_dedup": q_stream_dedup,
         "dedup_validate": q_dedup_validate,
     }
 
@@ -1936,6 +1976,11 @@ def oracle_sql() -> dict[str, str]:
         union all select 'unique:event_id', 'unique', 'event_id', m_uniq,
                cast(0 as bigint), m_uniq <= 0 from m
         order by rule_id
+        """,
+        "stream_dedup": f"""
+        select distinct event_id
+        from read_parquet('{_STREAM_DEDUP_INPUT}/*.parquet')
+        order by event_id
         """,
         "media_features": """
         select doc_id as media_id,

@@ -3,6 +3,7 @@
 from medea_spark.streaming.validate_stream import (
     REPO_STATE_OUTPUT,
     REPO_STATE_SCHEMA,
+    dedup_stream,
     file_stream_source,
     repo_violation_state,
     validate_stream,
@@ -12,6 +13,7 @@ from medea_spark.streaming.validate_stream import (
 __all__ = [
     "REPO_STATE_OUTPUT",
     "REPO_STATE_SCHEMA",
+    "dedup_stream",
     "file_stream_source",
     "repo_violation_state",
     "validate_stream",

@@ -127,6 +127,23 @@ def repo_violation_state(validated: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: the first row per key wins, duplicates
+    arriving within the watermark of the first sighting are dropped
+    (``dropDuplicatesWithinWatermark``).  State per key is bounded by
+    the watermark horizon — the property that makes streaming dedup
+    viable at ingest scale, unlike an unbounded ``dropDuplicates``
+    whose state grows with the key universe forever."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def file_stream_source(
     spark: Any,
     path: str,

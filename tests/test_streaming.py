@@ -211,3 +211,43 @@ def test_repo_state_restart_resumes_from_checkpoint(spark, stream_dir, tmp_path)
         .collect()
     }
     assert got == truth
+
+
+def test_dedup_stream_drops_within_watermark(spark, tmp_path):
+    """Exact duplicates replayed as a stream collapse to one row per
+    key; rows with distinct keys all survive."""
+    from datetime import datetime
+
+    from medea_spark.streaming import dedup_stream
+
+    rows = []
+    for i in range(200):
+        # All event times inside one 5-minute span: the watermark is 10
+        # minutes, and files replay in arbitrary order, so any row older
+        # than max_seen_ts - watermark would be dropped as LATE (not as
+        # a duplicate) and poison the count.
+        ts = datetime(2024, 1, 1, 0, i % 5, i % 50)
+        rows.append((i, ts, f"payload-{i}"))
+        if i % 4 == 0:  # exact duplicate, same ts -> within any watermark
+            rows.append((i, ts, f"payload-{i}"))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "payload"])
+    src_dir = str(tmp_path / "dedup_src")
+    df.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], "ts", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_out")
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
