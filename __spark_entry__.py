@@ -1157,9 +1157,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from medea_spark.streaming import dedup_stream
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id",
-        F.timestamp_seconds(F.lit(1704067200) + F.col("event_id") % 300).alias("ts"),
+    # Cap the replay at 30k base rows: the dedup semantics and the
+    # multi-batch shape are fully exercised either way (sf0.01 keeps
+    # every row), and streaming state-store cost scales with rows.
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") < 30_000)
+        .select(
+            "event_id",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("event_id") % 300).alias(
+                "ts"
+            ),
+        )
     )
     staged = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
     staged.repartition(6).write.mode("overwrite").parquet(_STREAM_DEDUP_INPUT)
