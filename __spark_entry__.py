@@ -1190,6 +1190,30 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id").orderBy("event_id")
 
 
+def q_asof_profile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (pipeline/asof.py): every event picks up the
+    latest per-user snapshot at-or-before its own timestamp (every
+    20th event doubles as a profile snapshot).  The Spark side never
+    expands — per-key sorted history arrays + a codegen scan — and the
+    oracle is DuckDB's NATIVE ASOF JOIN: an engine-vs-engine
+    differential of the semantics themselves."""
+    from medea_spark.pipeline import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    snapshots = ev.filter(F.col("event_id") % 20 == 0).select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        snapshots,
+        by=["user_id"],
+        value_cols=["value"],
+    )
+    return out.select("event_id", "asof_ts", "asof_value").orderBy("event_id")
+
+
 def q_check_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative check suite (checks/suite.py): seven expectations
     over the events table compiled into ONE aggregate pass; DuckDB
@@ -1267,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
         "stream_dedup": q_stream_dedup,
+        "asof_profile_join": q_asof_profile_join,
         "dedup_validate": q_dedup_validate,
     }
 
@@ -1990,6 +2015,14 @@ def oracle_sql() -> dict[str, str]:
         select distinct event_id
         from read_parquet('{_STREAM_DEDUP_INPUT}/*.parquet')
         order by event_id
+        """,
+        "asof_profile_join": """
+        select e.event_id, s.ts as asof_ts, s.value as asof_value
+        from events e
+        asof left join (
+            select user_id, ts, value from events where event_id % 20 = 0
+        ) s on e.user_id = s.user_id and e.ts >= s.ts
+        order by e.event_id
         """,
         "media_features": """
         select doc_id as media_id,

@@ -1,0 +1,79 @@
+"""Generic as-of join (backward): latest right row with
+``right_ts <= left_ts``, optionally per equi-key.
+
+Spark has no built-in as-of join; the naive shape —
+``left JOIN right ON key AND r.ts <= l.ts`` then argmax per left row —
+materializes |left| × |history-per-key| intermediate rows and needs a
+rank window on top (two scale problems).  This implementation never
+expands: the right side is grouped ONCE into a per-key time-sorted
+history array, the (broadcast-able) arrays join on the equi-key, and a
+codegen ``aggregate`` scan picks the latest element ≤ the probe
+timestamp per row — O(|history|) per row inside whole-stage codegen,
+zero extra shuffle on the probe side, no row blowup, no window.
+
+This is the dimension-snapshot join of a feature/training pipeline
+(user profile as of event time, exchange rate as of trade time); the
+schema-history special case with a GLOBAL literal history lives in
+``engine/temporal.py`` (zero join at all).  DuckDB's native ASOF JOIN
+reproduces the semantics exactly — the oracle differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    prefix: str = "asof_",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Left as-of join: every left row gains ``{prefix}{right_ts}`` and
+    ``{prefix}{col}`` for each value column, from the latest right row
+    of the same ``by`` key with ``right_ts <= left_ts`` — NULLs when no
+    such row exists.  Ties on ``right_ts`` within a key break by the
+    value-struct ordering (deterministic); keep right keys unique per
+    timestamp for well-defined semantics.
+
+    ``broadcast_right=True`` (default) fits the dimension-history case
+    (small right side); at a right side too big to broadcast, the
+    grouped-array join becomes a plain shuffle join on ``by`` — still
+    no row blowup and no window."""
+    if not by:
+        raise ValueError(
+            "asof_join requires at least one equi-key; for a global "
+            "(keyless) history use engine/temporal.py's literal-boundary "
+            "assignment — it needs no join at all"
+        )
+    vcols = value_cols or [
+        c for c in right.columns if c not in set(by) | {right_ts}
+    ]
+    hist_elem = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in vcols]
+    )
+    rhist = right.groupBy(*by).agg(
+        F.sort_array(F.collect_list(hist_elem)).alias("_hist")
+    )
+    elem_type = dict(zip(rhist.columns, [f.dataType for f in rhist.schema.fields]))[
+        "_hist"
+    ].elementType
+    joined = left.join(
+        F.broadcast(rhist) if broadcast_right else rhist, on=by, how="left"
+    )
+    lts = F.col(left_ts)
+    picked = F.aggregate(
+        F.coalesce(F.col("_hist"), F.array().cast(f"array<{elem_type.simpleString()}>")),
+        F.lit(None).cast(elem_type),
+        lambda acc, x: F.when(x["_ts"] <= lts, x).otherwise(acc),
+    )
+    out = joined.withColumn("_asof", picked).drop("_hist")
+    out = out.withColumn(f"{prefix}{right_ts}", F.col("_asof._ts"))
+    for c in vcols:
+        out = out.withColumn(f"{prefix}{c}", F.col(f"_asof.{c}"))
+    return out.drop("_asof")

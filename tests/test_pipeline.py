@@ -750,3 +750,50 @@ def test_training_mix_hits_budget_and_weights(spark):
     tiny = df.filter((F.col("lang") != "rare") | (F.col("doc_id") < 30))
     r3 = mixture_rates(tiny, "lang", "n_tokens", weights, budget)
     assert r3["rare"] == 1.0
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    """Latest right row <= left ts per key; NULL before the first
+    snapshot and for keys with no history; equal timestamps match."""
+    from datetime import datetime
+
+    from medea_spark.pipeline import asof_join
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m, 0)
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", t(0)),    # before any snapshot -> NULL
+            (2, "u1", t(10)),   # == snapshot ts -> matches it
+            (3, "u1", t(25)),   # between snapshots -> the 10-min one
+            (4, "u1", t(40)),   # after both -> the 30-min one
+            (5, "u2", t(40)),   # no history for u2 -> NULL
+        ],
+        ["event_id", "user", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u1", t(10), 100.0), ("u1", t(30), 300.0)],
+        ["user", "ts", "score"],
+    )
+    out = {
+        r.event_id: (r.asof_ts, r.asof_score)
+        for r in asof_join(left, right, by=["user"]).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (t(10), 100.0)
+    assert out[3] == (t(10), 100.0)
+    assert out[4] == (t(30), 300.0)
+    assert out[5] == (None, None)
+
+
+def test_asof_join_requires_key(spark):
+    import pytest
+
+    from medea_spark.pipeline import asof_join
+
+    with pytest.raises(ValueError, match="equi-key"):
+        asof_join(spark.range(1), spark.range(1), by=[])
