@@ -271,8 +271,17 @@ scaling input and ~100× the bench.py corpus measure; the simhash pair
 shows the wide-agg Catalyst compile is a fixed per-JVM cost, not a
 per-run tax (the steady-state run is the number that scales).
 """
-    (REPO / "BENCH" / "LARGE.md").write_text(md)
-    print(f"wrote {REPO / 'BENCH' / 'LARGE.md'}")
+    out_path = REPO / "BENCH" / "LARGE.md"
+    # Preserve any skew-stress section a --skew run appended: the main
+    # table and the skew evidence are refreshed independently.
+    skew = ""
+    if out_path.exists():
+        prev = out_path.read_text()
+        idx = prev.find("\n\n## Skew stress:")
+        if idx >= 0:
+            skew = prev[idx:]
+    out_path.write_text(md.rstrip("\n") + skew if skew else md)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
