@@ -797,3 +797,60 @@ def test_asof_join_requires_key(spark):
 
     with pytest.raises(ValueError, match="equi-key"):
         asof_join(spark.range(1), spark.range(1), by=[])
+
+
+def test_asof_join_randomized_differential_vs_duckdb(spark):
+    """Seeded randomized differential: ~2000 probes against ~300
+    snapshots with deliberately nasty shapes — equal timestamps,
+    probes before any history, keys with no history at all, keys with
+    dense histories — must match DuckDB's native ASOF JOIN row-for-row
+    in one pass."""
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from medea_spark.pipeline import asof_join
+
+    rng = random.Random(1234)
+    base = datetime(2024, 1, 1)
+    keys = [f"k{i}" for i in range(20)]          # k15..k19 get no history
+    probes = [
+        (i, rng.choice(keys), base + timedelta(seconds=rng.randrange(0, 3600)))
+        for i in range(2000)
+    ]
+    snaps = [
+        (rng.choice(keys[:15]), base + timedelta(seconds=rng.randrange(0, 3600)),
+         float(i))
+        for i in range(300)
+    ]
+    # inject exact-tie cases: snapshot at a probe's own timestamp
+    for i in range(0, 100, 7):
+        snaps.append((probes[i][1], probes[i][2], float(1000 + i)))
+    # dedupe (key, ts) so argmax is well-defined on both engines
+    seen, uniq = set(), []
+    for k, ts, v in snaps:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            uniq.append((k, ts, v))
+
+    left = spark.createDataFrame(probes, ["probe_id", "key", "ts"])
+    right = spark.createDataFrame(uniq, ["key", "ts", "val"])
+    got = {
+        r.probe_id: (r.asof_ts, r.asof_val)
+        for r in asof_join(left, right, by=["key"], value_cols=["val"]).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("create table probes(probe_id int, key varchar, ts timestamp)")
+    con.executemany("insert into probes values (?,?,?)", probes)
+    con.execute("create table snaps(key varchar, ts timestamp, val double)")
+    con.executemany("insert into snaps values (?,?,?)", uniq)
+    want = {
+        pid: (ts, val)
+        for pid, ts, val in con.execute(
+            "select p.probe_id, s.ts, s.val from probes p "
+            "asof left join snaps s on p.key = s.key and p.ts >= s.ts"
+        ).fetchall()
+    }
+    assert got == want
