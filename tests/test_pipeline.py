@@ -854,3 +854,54 @@ def test_asof_join_randomized_differential_vs_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_sessionize_randomized_differential_vs_duckdb(spark):
+    """Seeded randomized differential for session assignment: bursty
+    timestamps with EXACT ties (the ordering tie-break matters) and
+    gaps straddling the threshold, vs the same window SQL in DuckDB."""
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from medea_spark.pipeline import sessionize
+
+    rng = random.Random(99)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(12):
+        t = 0
+        for _ in range(rng.randrange(5, 40)):
+            # mix of sub-gap steps, exact-gap boundaries, and big jumps
+            t += rng.choice([0, 0, 1, 60, 1799, 1800, 1801, 7200])
+            rows.append((eid, user, base + timedelta(seconds=t)))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        r.event_id: r.session_idx
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table e(event_id int, user_id int, ts timestamp)")
+    con.executemany("insert into e values (?,?,?)", rows)
+    want = {
+        eid_: idx
+        for eid_, idx in con.execute(
+            """
+            with m as (
+                select event_id, user_id, epoch_us(ts) as tu from e
+            ), marks as (
+                select *, case when lag(tu) over (partition by user_id order by tu, event_id) is null
+                                 or tu - lag(tu) over (partition by user_id order by tu, event_id) > 1800000000
+                               then 1 else 0 end as ns
+                from m
+            )
+            select event_id,
+                   cast(sum(ns) over (partition by user_id order by tu, event_id) as int)
+            from marks
+            """
+        ).fetchall()
+    }
+    assert got == want
