@@ -1214,6 +1214,36 @@ def q_asof_profile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "asof_ts", "asof_value").orderBy("event_id")
 
 
+_MEDIA_DECODE_INPUT = f"{_STAGE_ROOT}/media_decode_input"
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (pipeline/media_codecs.py): 500 generator-built
+    BMP/WAV blobs (plus injected truncations) round-trip through
+    parquet, and the decoder parses the ACTUAL BYTES — magic sniff,
+    header walk, pixel/sample reconstruction, canonical content hash.
+    DuckDB reads the generator's pre-encode ground-truth columns from
+    the same staged file: a true encode→bytes→decode differential.
+    Compressed formats (JPEG/PNG/MP4) remain stubbed — no codecs in
+    this container — but the container-only formats decode for real."""
+    from medea_spark.pipeline.multimodal import decode_media, synthetic_decodable_media
+
+    synthetic_decodable_media(spark, 500, seed=11).write.mode("overwrite").parquet(
+        _MEDIA_DECODE_INPUT
+    )
+    staged = spark.read.parquet(_MEDIA_DECODE_INPUT)
+    return decode_media(staged).select(
+        "media_id",
+        "decode_ok",
+        "format",
+        "width",
+        "height",
+        "sample_rate",
+        "n_samples",
+        "content_sha",
+    ).orderBy("media_id")
+
+
 def q_check_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative check suite (checks/suite.py): seven expectations
     over the events table compiled into ONE aggregate pass; DuckDB
@@ -1292,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_suite_events": q_check_suite_events,
         "stream_dedup": q_stream_dedup,
         "asof_profile_join": q_asof_profile_join,
+        "media_decode": q_media_decode,
         "dedup_validate": q_dedup_validate,
     }
 
@@ -2023,6 +2054,18 @@ def oracle_sql() -> dict[str, str]:
             select user_id, ts, value from events where event_id % 20 = 0
         ) s on e.user_id = s.user_id and e.ts >= s.ts
         order by e.event_id
+        """,
+        "media_decode": f"""
+        select media_id,
+               true_ok as decode_ok,
+               true_format as format,
+               true_width as width,
+               true_height as height,
+               true_sample_rate as sample_rate,
+               true_n_samples as n_samples,
+               true_sha as content_sha
+        from read_parquet('{_MEDIA_DECODE_INPUT}/*.parquet')
+        order by media_id
         """,
         "media_features": """
         select doc_id as media_id,

@@ -905,3 +905,62 @@ def test_sessionize_randomized_differential_vs_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# --- real media codecs (BMP / WAV) ------------------------------------------
+
+
+def test_bmp_wav_roundtrip():
+    import numpy as np
+
+    from medea_spark.pipeline.media_codecs import (
+        MediaDecodeError,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (3, 2), (5, 4), (16, 9)]:  # odd widths hit row padding
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+    for ch in (1, 2):
+        s = rng.randint(-32768, 32767, (321, ch)).astype(np.int16)
+        got, rate = decode_wav(encode_wav(s, 16000))
+        assert rate == 16000 and (got == s).all()
+    import pytest
+
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(b"BM" + b"\x00" * 8)
+    with pytest.raises(MediaDecodeError):
+        decode_wav(b"RIFFxxxxWAVE")
+    big = resize_nearest(np.arange(12, dtype=np.uint8).reshape(2, 2, 3), 4, 4)
+    assert big.shape == (4, 4, 3)
+    assert (big[0, 0] == [0, 1, 2]).all() and (big[3, 3] == [9, 10, 11]).all()
+
+
+def test_decode_media_matches_ground_truth(spark):
+    """The full encode→bytes→decode differential: the decoder's output
+    from the ACTUAL BYTES equals the generator's pre-encode ground
+    truth for every row, including the injected corrupt blobs."""
+    from medea_spark.pipeline.multimodal import decode_media, synthetic_decodable_media
+
+    tbl = synthetic_decodable_media(spark, 120, seed=5)
+    joined = decode_media(tbl).alias("d").join(tbl.alias("t"), "media_id")
+    bad = joined.filter(
+        (F.col("d.decode_ok") != F.col("t.true_ok"))
+        | ~(
+            F.col("d.content_sha").eqNullSafe(F.col("t.true_sha"))
+            & F.col("d.width").eqNullSafe(F.col("t.true_width"))
+            & F.col("d.height").eqNullSafe(F.col("t.true_height"))
+            & F.col("d.sample_rate").eqNullSafe(F.col("t.true_sample_rate"))
+            & F.col("d.n_samples").eqNullSafe(F.col("t.true_n_samples"))
+            & F.col("d.format").eqNullSafe(F.col("t.true_format"))
+        )
+    )
+    assert bad.count() == 0
+    ok_counts = decode_media(tbl).groupBy("decode_ok").count().collect()
+    counts = {r["decode_ok"]: r["count"] for r in ok_counts}
+    assert counts.get(False, 0) > 0 and counts[True] > 100  # both classes present
