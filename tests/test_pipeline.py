@@ -964,3 +964,56 @@ def test_decode_media_matches_ground_truth(spark):
     ok_counts = decode_media(tbl).groupBy("decode_ok").count().collect()
     counts = {r["decode_ok"]: r["count"] for r in ok_counts}
     assert counts.get(False, 0) > 0 and counts[True] > 100  # both classes present
+
+
+def test_media_codec_fuzz_never_crashes():
+    """Hypothesis: arbitrary bytes (including ones starting with the
+    right magic) either decode or raise MediaDecodeError — never any
+    other exception (the operator maps MediaDecodeError to error rows;
+    anything else would kill a 100 TB job).  Plus the round-trip
+    property on random pixel/sample arrays."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medea_spark.pipeline.media_codecs import (
+        MediaDecodeError,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    junk = st.binary(max_size=200)
+    prefixed = st.one_of(
+        junk,
+        junk.map(lambda b: b"BM" + b),
+        junk.map(lambda b: b"RIFF" + b[:4] + b"WAVE" + b),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefixed)
+    def fuzz(blob):
+        for dec in (decode_bmp, decode_wav):
+            try:
+                dec(blob)
+            except MediaDecodeError:
+                pass
+
+    fuzz()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1)
+    )
+    def roundtrip(w, h, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+        s = rng.randint(-32768, 32767, (1 + seed % 40, 1 + seed % 2)).astype(
+            np.int16
+        )
+        got, rate = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000 and (got == s).all()
+
+    roundtrip()
