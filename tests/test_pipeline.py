@@ -1017,3 +1017,44 @@ def test_media_codec_fuzz_never_crashes():
         assert rate == 8000 and (got == s).all()
 
     roundtrip()
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """Seeded random graph (200 nodes, 150 edges → many components of
+    varied shapes) vs a Python union-find ground truth."""
+    import random
+
+    from medea_spark.pipeline import connected_components
+
+    rng = random.Random(4242)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_edges = {a for a, _ in edges} | {b for _, b in edges}
+    truth = {n: find(n) for n in in_edges}
+    # normalize: component label = min node id in component
+    comp_min = {}
+    for n, r in truth.items():
+        comp_min.setdefault(find(r), set()).add(n)
+    want = {}
+    for members in comp_min.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want
