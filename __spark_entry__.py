@@ -1219,13 +1219,14 @@ _MEDIA_DECODE_INPUT = f"{_STAGE_ROOT}/media_decode_input"
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (pipeline/media_codecs.py): 500 generator-built
-    BMP/WAV blobs (plus injected truncations) round-trip through
+    BMP/WAV/PNG blobs (plus injected truncations) round-trip through
     parquet, and the decoder parses the ACTUAL BYTES — magic sniff,
-    header walk, pixel/sample reconstruction, canonical content hash.
-    DuckDB reads the generator's pre-encode ground-truth columns from
-    the same staged file: a true encode→bytes→decode differential.
-    Compressed formats (JPEG/PNG/MP4) remain stubbed — no codecs in
-    this container — but the container-only formats decode for real."""
+    header walk, zlib inflate + scanline unfilter for PNG, pixel/sample
+    reconstruction, canonical content hash.  DuckDB reads the
+    generator's pre-encode ground-truth columns from the same staged
+    file: a true encode→bytes→decode differential.  Only formats whose
+    codecs genuinely need external libraries (JPEG/MP4) remain
+    stubbed."""
     from medea_spark.pipeline.multimodal import decode_media, synthetic_decodable_media
 
     synthetic_decodable_media(spark, 500, seed=11).write.mode("overwrite").parquet(

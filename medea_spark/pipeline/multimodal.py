@@ -217,9 +217,9 @@ def synthetic_media_table(spark, n_rows: int = 100, seed: int = 42) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# REAL decode for container-only formats (BMP / PCM WAV) — see
-# pipeline/media_codecs.py.  Compressed formats (JPEG/PNG/MP4) remain
-# stubbed above: those need codec libraries this container lacks.
+# REAL decode for stdlib-decodable formats (BMP / PCM WAV / PNG) — see
+# pipeline/media_codecs.py.  JPEG/MP4 remain stubbed above: those need
+# codec libraries this container lacks.
 # ---------------------------------------------------------------------------
 
 DECODABLE_MEDIA_SCHEMA = T.StructType(
@@ -252,15 +252,18 @@ DECODE_SCHEMA = T.StructType(
 
 
 def synthetic_decodable_media(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic table of REAL media blobs: even ids are 24-bit
-    BMPs, odd ids 16-bit PCM WAVs, every 17th id truncated (corrupt).
-    Ground-truth columns come from the arrays the encoder consumed —
-    NOT from decoding — so comparing the decoder's output against them
-    is a true encode→bytes→decode differential."""
+    """Deterministic table of REAL media blobs: ids cycle 24-bit BMP /
+    16-bit PCM WAV / 8-bit truecolor PNG (mid % 3), every 17th id
+    truncated (corrupt).  Ground-truth columns come from the arrays the
+    encoder consumed — NOT from decoding — so comparing the decoder's
+    output against them is a true encode→bytes→decode differential.
+    The PNG encoder cycles all five scanline filter types, so the
+    decode path exercises the full unfilter set."""
     import numpy as np
 
     from medea_spark.pipeline.media_codecs import (
         encode_bmp,
+        encode_png,
         encode_wav,
         pcm_sha256,
         pixel_sha256,
@@ -272,16 +275,22 @@ def synthetic_decodable_media(spark, n_rows: int = 200, seed: int = 42) -> DataF
             for mid in pdf["id"]:
                 mid = int(mid)
                 h = int(hashlib.md5(f"{seed}:media:{mid}".encode()).hexdigest(), 16)
-                if mid % 2 == 0:
+                if mid % 3 != 1:
                     w = 3 + h % 14
                     hh = 2 + (h >> 8) % 12
+                    if mid % 3 == 2:
+                        hh = max(hh, 6)  # ≥6 rows → every PNG filter type used
                     y, x = np.mgrid[0:hh, 0:w]
                     px = np.stack(
                         [(x * 7 + y * 13 + mid + c * 29) % 256 for c in range(3)],
                         axis=2,
                     ).astype(np.uint8)
-                    blob = encode_bmp(px)
-                    truth = ("bmp", w, hh, None, None, pixel_sha256(px))
+                    if mid % 3 == 0:
+                        blob = encode_bmp(px)
+                        truth = ("bmp", w, hh, None, None, pixel_sha256(px))
+                    else:
+                        blob = encode_png(px)
+                        truth = ("png", w, hh, None, None, pixel_sha256(px))
                 else:
                     ch = 1 + (h >> 4) % 2
                     rate = (8000, 16000, 22050)[h % 3]
@@ -310,14 +319,16 @@ def synthetic_decodable_media(spark, n_rows: int = 200, seed: int = 42) -> DataF
 def decode_media(
     df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:
-    """REAL decode of BMP/WAV blobs inside Arrow batches: parses the
-    actual bytes (magic sniffing → header walk → payload reconstruction)
-    and emits dimensions / sample counts / canonical content hashes.
-    Malformed blobs become (decode_ok=false, error) rows — one bad blob
-    never kills the job."""
+    """REAL decode of BMP/WAV/PNG blobs inside Arrow batches: parses the
+    actual bytes (magic sniffing → header walk → inflate/unfilter →
+    payload reconstruction) and emits dimensions / sample counts /
+    canonical content hashes.  Malformed blobs become (decode_ok=false,
+    error) rows — one bad blob never kills the job."""
     from medea_spark.pipeline.media_codecs import (
+        PNG_SIGNATURE,
         MediaDecodeError,
         decode_bmp,
+        decode_png,
         decode_wav,
         pcm_sha256,
         pixel_sha256,
@@ -334,6 +345,12 @@ def decode_media(
                         px = decode_bmp(blob)
                         rows.append(
                             (mid, True, "bmp", px.shape[1], px.shape[0], None, None,
+                             pixel_sha256(px), None)
+                        )
+                    elif blob[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+                        px = decode_png(blob)
+                        rows.append(
+                            (mid, True, "png", px.shape[1], px.shape[0], None, None,
                              pixel_sha256(px), None)
                         )
                     elif blob[:4] == b"RIFF":

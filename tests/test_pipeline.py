@@ -941,6 +941,50 @@ def test_bmp_wav_roundtrip():
     assert (big[0, 0] == [0, 1, 2]).all() and (big[3, 3] == [9, 10, 11]).all()
 
 
+def test_png_roundtrip():
+    """encode_png cycles all five scanline filter types; decode must
+    reconstruct every pixel exactly, and malformed variants (bad CRC,
+    truncation, trailing bytes, unsupported color types) must raise
+    MediaDecodeError."""
+    import numpy as np
+    import pytest
+
+    from medea_spark.pipeline.media_codecs import (
+        PNG_SIGNATURE,
+        MediaDecodeError,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    # h >= 6 exercises filters 0-4; (1,1) and odd widths hit edges
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 9), (2, 6)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+    blob = encode_png(px)
+    assert blob[: len(PNG_SIGNATURE)] == PNG_SIGNATURE
+    for bad in (blob[:10], blob[:-1], blob + b"x", b"\x89PNG\r\n\x1a\n" + b"\x00" * 20):
+        with pytest.raises(MediaDecodeError):
+            decode_png(bad)
+    flipped = bytearray(blob)
+    flipped[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(MediaDecodeError):
+        decode_png(bytes(flipped))
+    # grayscale / RGBA color types are rejected, not mis-decoded
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # color type 6 = RGBA
+    chunk = (
+        _struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(MediaDecodeError):
+        decode_png(PNG_SIGNATURE + chunk)
+
+
 def test_decode_media_matches_ground_truth(spark):
     """The full encode→bytes→decode differential: the decoder's output
     from the ACTUAL BYTES equals the generator's pre-encode ground
@@ -977,10 +1021,13 @@ def test_media_codec_fuzz_never_crashes():
     from hypothesis import strategies as st
 
     from medea_spark.pipeline.media_codecs import (
+        PNG_SIGNATURE,
         MediaDecodeError,
         decode_bmp,
+        decode_png,
         decode_wav,
         encode_bmp,
+        encode_png,
         encode_wav,
     )
 
@@ -989,18 +1036,36 @@ def test_media_codec_fuzz_never_crashes():
         junk,
         junk.map(lambda b: b"BM" + b),
         junk.map(lambda b: b"RIFF" + b[:4] + b"WAVE" + b),
+        junk.map(lambda b: PNG_SIGNATURE + b),
     )
 
     @settings(max_examples=300, deadline=None)
     @given(prefixed)
     def fuzz(blob):
-        for dec in (decode_bmp, decode_wav):
+        for dec in (decode_bmp, decode_wav, decode_png):
             try:
                 dec(blob)
             except MediaDecodeError:
                 pass
 
     fuzz()
+
+    # mutation fuzz: single-byte corruptions of a VALID png either still
+    # decode (mutation in slack space doesn't exist here — CRCs cover
+    # every chunk) or raise MediaDecodeError; nothing else escapes
+    base = encode_png(np.arange(7 * 5 * 3, dtype=np.uint8).reshape(7, 5, 3))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, len(base) - 1), st.integers(1, 255))
+    def mutate(pos, xor):
+        mutated = bytearray(base)
+        mutated[pos] ^= xor
+        try:
+            decode_png(bytes(mutated))
+        except MediaDecodeError:
+            pass
+
+    mutate()
 
     @settings(max_examples=50, deadline=None)
     @given(
@@ -1010,6 +1075,7 @@ def test_media_codec_fuzz_never_crashes():
         rng = np.random.RandomState(seed)
         px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
         assert (decode_bmp(encode_bmp(px)) == px).all()
+        assert (decode_png(encode_png(px)) == px).all()
         s = rng.randint(-32768, 32767, (1 + seed % 40, 1 + seed % 2)).astype(
             np.int16
         )
