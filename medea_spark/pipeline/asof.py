@@ -33,6 +33,8 @@ def asof_join(
     value_cols: list[str] | None = None,
     prefix: str = "asof_",
     broadcast_right: bool = True,
+    max_history: int | None = None,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Left as-of join: every left row gains ``{prefix}{right_ts}`` and
     ``{prefix}{col}`` for each value column, from the latest right row
@@ -44,22 +46,68 @@ def asof_join(
     ``broadcast_right=True`` (default) fits the dimension-history case
     (small right side); at a right side too big to broadcast, the
     grouped-array join becomes a plain shuffle join on ``by`` — still
-    no row blowup and no window."""
+    no row blowup and no window.
+
+    **Hot-key guard**: each key's entire right history materializes as
+    ONE array inside a task, so a pathological key with millions of
+    history rows would OOM at scale.  ``max_history=N`` bounds it:
+    ``on_overflow="error"`` fails the job loudly (the task raises the
+    moment a key exceeds N — no silent wrong answer), while
+    ``on_overflow="latest"`` keeps only each key's N most-recent
+    history rows, which preserves as-of answers for every probe at or
+    after that key's (N+1)-latest timestamp and returns NULL/older-
+    truncated matches below it (documented lossy policy for
+    bounded-staleness probes).  ``max_history=None`` (default) is
+    unbounded — the dimension-snapshot contract."""
     if not by:
         raise ValueError(
             "asof_join requires at least one equi-key; for a global "
             "(keyless) history use engine/temporal.py's literal-boundary "
             "assignment — it needs no join at all"
         )
+    if on_overflow not in ("error", "latest"):
+        raise ValueError(f"on_overflow must be 'error' or 'latest', got {on_overflow!r}")
+    if max_history is not None and max_history < 1:
+        raise ValueError("max_history must be >= 1")
     vcols = value_cols or [
         c for c in right.columns if c not in set(by) | {right_ts}
     ]
+    taken = set(left.columns)
+    clashes = sorted(
+        ({"_hist", "_asof"} | {f"{prefix}{c}" for c in [right_ts, *vcols]}) & taken
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join output/temp column(s) {clashes} already exist on the "
+            f"left DataFrame; rename them or pass a different prefix="
+        )
     hist_elem = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in vcols]
     )
     rhist = right.groupBy(*by).agg(
         F.sort_array(F.collect_list(hist_elem)).alias("_hist")
     )
+    if max_history is not None:
+        h, n = F.col("_hist"), F.size(F.col("_hist"))
+        if on_overflow == "error":
+            bounded = F.when(
+                n > max_history,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"asof_join: key history exceeds max_history={max_history} "
+                            "(size "
+                        ),
+                        n.cast("string"),
+                        F.lit("); raise max_history or use on_overflow='latest'"),
+                    )
+                ),
+            ).otherwise(h)
+        else:  # keep each key's max_history MOST RECENT rows (array is sorted asc)
+            bounded = F.when(
+                n > max_history, F.slice(h, n - F.lit(max_history) + 1, max_history)
+            ).otherwise(h)
+        rhist = rhist.withColumn("_hist", bounded)
     elem_type = dict(zip(rhist.columns, [f.dataType for f in rhist.schema.fields]))[
         "_hist"
     ].elementType

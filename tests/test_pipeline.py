@@ -799,6 +799,58 @@ def test_asof_join_requires_key(spark):
         asof_join(spark.range(1), spark.range(1), by=[])
 
 
+def test_asof_join_hot_key_guard(spark):
+    """max_history bounds a hot key's materialized history array:
+    'error' fails loudly the moment a key exceeds the cap; 'latest'
+    keeps only the N most-recent history rows (probes at/after the
+    truncation horizon still get exact answers); output-name
+    collisions with the left side raise instead of silently
+    overwriting."""
+    from datetime import datetime, timedelta
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from medea_spark.pipeline import asof_join
+
+    base = datetime(2024, 1, 1)
+    # hot key: 50 history rows; cold key: 2
+    snaps = [("hot", base + timedelta(minutes=i), float(i)) for i in range(50)]
+    snaps += [("cold", base + timedelta(minutes=i), float(100 + i)) for i in range(2)]
+    right = spark.createDataFrame(snaps, ["user", "ts", "score"])
+    left = spark.createDataFrame(
+        [(1, "hot", base + timedelta(minutes=200)),
+         (2, "hot", base + timedelta(minutes=46, seconds=30)),
+         (3, "hot", base + timedelta(minutes=10)),   # below truncation horizon
+         (4, "cold", base + timedelta(minutes=200))],
+        ["event_id", "user", "ts"],
+    )
+
+    with pytest.raises(SparkRuntimeException, match="max_history=10"):
+        asof_join(left, right, by=["user"], max_history=10).collect()
+
+    out = {
+        r.event_id: r.asof_score
+        for r in asof_join(
+            left, right, by=["user"], max_history=5, on_overflow="latest"
+        ).collect()
+    }
+    assert out[1] == 49.0          # latest row survives truncation
+    assert out[2] == 46.0          # within the kept window -> exact
+    assert out[3] is None          # older than kept window -> NULL (documented)
+    assert out[4] == 101.0         # cold key untouched
+    # cap >= actual history is a no-op on both policies
+    full = asof_join(left, right, by=["user"], max_history=50).collect()
+    assert {r.event_id: r.asof_score for r in full}[3] == 10.0
+
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left.withColumn("asof_score", left.event_id), right, by=["user"])
+    with pytest.raises(ValueError, match="on_overflow"):
+        asof_join(left, right, by=["user"], max_history=5, on_overflow="drop")
+    with pytest.raises(ValueError, match="max_history"):
+        asof_join(left, right, by=["user"], max_history=0)
+
+
 def test_asof_join_randomized_differential_vs_duckdb(spark):
     """Seeded randomized differential: ~2000 probes against ~300
     snapshots with deliberately nasty shapes — equal timestamps,
