@@ -3,28 +3,47 @@
 The missing last step of every dedup pipeline: pair relations
 (MinHash-LSH candidates, SimHash near-pairs, embedding near-dups) give
 EDGES, but the thing a dedup job acts on is the CLUSTER — keep one
-document per connected component.  Spark has no built-in; this is the
-standard min-label propagation implemented with DataFrames only:
+document per connected component.  Spark has no built-in; two
+DataFrame-only algorithms are provided:
 
-    label(n) ← min(label(n), min over neighbors' labels)
+* ``algorithm="propagation"`` (default): standard min-label
+  propagation — ``label(n) ← min(label(n), neighbors' labels)`` to a
+  fixpoint.  One shuffle per round, rounds bounded by the component
+  DIAMETER.  Near-dup clusters are shallow (a duplicate family
+  collapses in 2-3 hops), so this is a handful of rounds even at
+  10^12 documents.  The convergence signal rides the SAME aggregation
+  that produces the new labels (``Dataset.observe`` on the
+  eagerly-checkpointed round output) — one job per round, not two.
 
-iterated to a fixpoint.  Each round is one shuffle (join + groupBy
-min); the number of rounds is bounded by the component DIAMETER, and
-near-dup clusters are shallow (a duplicate family collapses in 2-3
-hops), so the loop is a handful of rounds even at 10^12 documents.
-For pathological long-chain graphs the classic large-star/small-star
-variant halves diameters per round; it is not needed for dedup-shaped
-inputs and is deliberately not implemented (simpler = auditable).
+* ``algorithm="star"``: the alternating large-star / small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14 — public paper, see PAPERS.md), which contracts
+  components in O(log n) rounds regardless of diameter.  The fallback
+  for pathological long-chain graphs where propagation's
+  diameter-bound guard trips.  More shuffles per round, so it is NOT
+  the default for dedup-shaped inputs.
 
 Deterministic by construction: labels are min document ids — no
 randomness, rerun-stable, resume-safe (the same contract as the
-engine's partitioning).
+engine's partitioning).  Nodes appearing ONLY in self-loop pairs
+(u == u) still appear in the output as their own singleton component —
+the node universe is derived from the unfiltered edge list.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+def _node_universe(e0: DataFrame) -> DataFrame:
+    """Every node mentioned in the UNFILTERED edge list (self-loops
+    included) — so self-loop-only nodes are never dropped."""
+    return (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -32,20 +51,28 @@ def connected_components(
     src_col: str = "a",
     dst_col: str = "b",
     max_iter: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the smallest node id in the node's connected
     component.  Raises if the fixpoint is not reached in ``max_iter``
-    rounds (diameter-bound exceeded — a malformed input for the
-    dedup-shaped graphs this targets).
+    rounds (for ``propagation`` that is a diameter bound — a malformed
+    input for the dedup-shaped graphs it targets; switch to
+    ``algorithm="star"`` for long-chain graphs, which needs only
+    O(log n) rounds).
 
-    Each iteration: propagate every node's current label to all of its
-    neighbors, keep the per-node minimum.  Labels only ever decrease
-    and are bounded below by the true component minimum, so the loop
-    terminates in ≤ diameter rounds."""
-    e = edges.select(
-        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    ).filter(F.col("u") != F.col("v"))
+    Each propagation iteration: propagate every node's current label to
+    all of its neighbors, keep the per-node minimum.  Labels only ever
+    decrease and are bounded below by the true component minimum, so
+    the loop terminates in ≤ diameter rounds; the changed-label count
+    is observed on the same job that materializes the round (no
+    separate convergence job)."""
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"algorithm must be 'propagation' or 'star', got {algorithm!r}")
+    e0 = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if algorithm == "star":
+        return _star_components(e0, max_iter)
+    e = e0.filter(F.col("u") != F.col("v"))
     # Symmetric neighbor relation, reused every round.
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -58,51 +85,158 @@ def connected_components(
     # preemptible cluster would use reliable checkpoint(dir) instead
     # (same call shape, durable storage).
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        _node_universe(e0).withColumn("label", F.col("node")).localCheckpoint()
     )
     try:
         for _ in range(max_iter):
-            # label candidates: own label + every neighbor's label
+            # label candidates: every neighbor's label, tagged non-self;
+            # the node's own current label rides along tagged self, so
+            # ONE groupBy yields both the new label (min over all) and
+            # the old label (min over self rows — exactly one per node).
             candidates = sym.join(
                 labels, sym["u"] == labels["node"], "inner"
-            ).select(F.col("v").alias("node"), F.col("label"))
+            ).select(
+                F.col("v").alias("node"),
+                F.col("label"),
+                F.lit(False).alias("_self"),
+            )
+            merged = candidates.unionByName(
+                labels.select("node", "label", F.lit(True).alias("_self"))
+            )
+            agg = merged.groupBy("node").agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_self"), F.col("label"))).alias("_old"),
+            )
+            # Labels only decrease, so label < _old IFF this node changed.
+            # observe() rides the localCheckpoint job — the convergence
+            # count costs zero extra jobs per round.
+            obs = Observation()
             new_labels = (
-                candidates.unionByName(labels)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                agg.observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") < F.col("_old")).cast("long")
+                    ).alias("changed"),
+                )
+                .select("node", "label")
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
             labels = new_labels
-            if changed == 0:
+            if (obs.get["changed"] or 0) == 0:
                 return labels.select("node", F.col("label").alias("component"))
     finally:
         sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the dedup-shaped bound; raise "
-        "max_iter or pre-cluster with large-star/small-star"
+        "max_iter or use algorithm='star' (O(log n) rounds)"
     )
+
+
+def _star_components(e0: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star / small-star (Kiveris et al., SoCC'14).
+
+    Edges are kept canonical ``(lo, hi)`` with ``lo < hi``.  One round:
+
+    * **large-star**: per node u over its full symmetric neighborhood,
+      m = min(N(u) ∪ {u}); emit (v, m) for every neighbor v > u.
+    * **small-star**: per node u over its SMALLER neighbors
+      (canonical hi-side grouping), m = min(N⁻(u)); emit (x, m) for
+      every x ∈ N⁻(u) ∪ {u}.
+
+    Both steps only ever connect nodes to smaller nodes within their
+    component, and the alternation provably converges to disjoint
+    stars centered at each component's minimum in O(log n) rounds.
+    Convergence is detected when the canonical edge set's fingerprint
+    (count + two independent 64-bit hash sums, observed on the same
+    job that checkpoints the round) stops changing — a probabilistic
+    set-equality check whose collision odds are ~2^-128 per round."""
+    nodes = _node_universe(e0)
+
+    def fingerprint_metrics():
+        # decimal(38,0) sums: a long sum of 64-bit hashes would overflow
+        # under ANSI mode after a few billion edges (or a few rows of
+        # adversarial hash values)
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.lit(1), "lo", "hi").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64(F.lit(2), "lo", "hi").cast("decimal(38,0)")).alias("h2"),
+        )
+
+    obs0 = Observation()
+    cur = (
+        e0.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+        )
+        .distinct()
+        .observe(obs0, *fingerprint_metrics())
+        .localCheckpoint()
+    )
+    prev_fp = tuple(obs0.get[k] for k in ("n", "h1", "h2"))
+
+    for _ in range(max_iter):
+        if prev_fp[0] == 0:  # no non-self-loop edges: all singletons
+            break
+        # --- large-star over the symmetric neighborhood -------------------
+        sym = cur.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+            .distinct()
+        )
+        # --- small-star: group each hi over its smaller neighbors ---------
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins2, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins2.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+            .distinct()
+        )
+        obs = Observation()
+        cur = ss.observe(obs, *fingerprint_metrics()).localCheckpoint()
+        fp = tuple(obs.get[k] for k in ("n", "h1", "h2"))
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components(algorithm='star') did not converge in "
+            f"{max_iter} rounds — O(log n) bound exceeded; malformed input?"
+        )
+    # Converged: ``cur`` is a forest of stars, each centered at its
+    # component minimum — hi → lo IS the label map; everything else
+    # (roots, isolated nodes, self-loop-only nodes) labels itself.
+    # The min() re-aggregation is a no-op post-convergence, kept as a
+    # cheap safety net against fingerprint-collision false positives.
+    star = cur.groupBy("hi").agg(F.min("lo").alias("component"))
+    return nodes.join(
+        star.select(F.col("hi").alias("node"), "component"), "node", "left"
+    ).select("node", F.coalesce("component", "node").alias("component"))
 
 
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Dedup-flavored wrapper: candidate pairs → (doc_id, cluster_id,
     is_keeper).  ``cluster_id`` is the smallest doc id in the cluster
     and also the document to keep (min-id keep rule, the same rule
     exact_duplicate_groups uses)."""
-    cc = connected_components(pairs, a_col, b_col)
+    cc = connected_components(pairs, a_col, b_col, algorithm=algorithm)
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),

@@ -710,6 +710,93 @@ def test_connected_components_diameter_guard(spark):
         connected_components(df, max_iter=2)
 
 
+def test_connected_components_self_loop_only_nodes(spark):
+    """A node mentioned ONLY in self-loop pairs still gets a cluster
+    row (its own singleton) instead of vanishing from the output —
+    both algorithms."""
+    from medea_spark.pipeline import connected_components, duplicate_clusters
+
+    df = spark.createDataFrame([(7, 7), (1, 2), (3, 3)], ["a", "b"])
+    for alg in ("propagation", "star"):
+        got = {
+            r.node: r.component
+            for r in connected_components(df, algorithm=alg).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3, 7: 7}, alg
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in duplicate_clusters(
+            spark.createDataFrame([(9, 9)], ["doc_a", "doc_b"])
+        ).collect()
+    }
+    assert rows == {9: (9, True)}
+
+
+def test_connected_components_star_beats_diameter_bound(spark):
+    """A 60-node path has diameter 59: propagation at max_iter=8 trips
+    the guard, while large-star/small-star converges within 8 rounds
+    (O(log n)) and labels every node with the chain minimum."""
+    import pytest
+
+    from medea_spark.pipeline import connected_components
+
+    n = 60
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="algorithm='star'"):
+        connected_components(df, max_iter=8)
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=8, algorithm="star").collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_star_random_graph_vs_union_find(spark):
+    """The star algorithm against the same union-find ground truth as
+    the propagation differential — seeded random graph plus a
+    long-chain tail grafted onto one component."""
+    import random
+
+    from medea_spark.pipeline import connected_components
+
+    rng = random.Random(777)
+    nodes = list(range(150))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(110)]
+    edges += [(1000 + i, 1001 + i) for i in range(40)]  # chain tail
+    edges.append((edges[0][0], 1000))                   # graft chain on
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    universe = {a for a, _ in edges} | {b for _, b in edges}
+    comp_members: dict = {}
+    for n_ in universe:
+        comp_members.setdefault(find(n_), set()).add(n_)
+    want = {}
+    for members in comp_members.values():
+        m = min(members)
+        for n_ in members:
+            want[n_] = m
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r.node: r.component
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert got == want
+
+
 def test_duplicate_clusters_keeper(spark):
     from medea_spark.pipeline import duplicate_clusters
 
