@@ -1272,6 +1272,28 @@ def q_check_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_check_suite(ev, rules).orderBy("rule_id")
 
 
+def q_check_suite_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-uniqueness rules (checks/suite.py unique_sampled):
+    the deterministic hash-slice estimator — est = 2^shift ×
+    countDistinct(keys in a 2^-shift md5 slice) — is integer-exact and
+    engine-portable, so DuckDB recomputes the SAME estimate bit-for-bit
+    (unlike HLL, whose sketch is engine-specific; the
+    unique(approx=True) HLL path is gated by unit tests instead).
+    The sampled Expand branch carries only ~2^-shift of the row
+    stream — the 100-TB answer for suites with many uniqueness rules."""
+    from medea_spark.checks import min_rows, not_null, run_check_suite, unique, unique_sampled
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rules = [
+        unique(["event_id"]),
+        unique_sampled(["user_id"], shift=3, max_violations=10**6),
+        unique_sampled(["event_id", "event_type"], shift=2, max_violations=100),
+        not_null("event_id"),
+        min_rows(1),
+    ]
+    return run_check_suite(ev, rules).orderBy("rule_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship at sf0.001: kernel validation over the JSON column with
     the violation census."""
@@ -1321,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
+        "check_suite_approx": q_check_suite_approx,
         "stream_dedup": q_stream_dedup,
         "asof_profile_join": q_asof_profile_join,
         "media_decode": q_media_decode,
@@ -2022,7 +2045,9 @@ def oracle_sql() -> dict[str, str]:
             cast(sum(case when value is not null and (value < 0.0 or value > 15.0) then 1 else 0 end) as bigint) as m_range,
             cast(sum(case when event_type is not null and not regexp_matches(event_type, '^[a-z]+$') then 1 else 0 end) as bigint) as m_regex,
             cast(sum(case when event_type is not null and event_type not in ('click','view','purchase','error') then 1 else 0 end) as bigint) as m_accept,
-            cast(count(*) - count(distinct event_id) as bigint) as m_uniq,
+            -- coalesce-to-sentinel mirrors Spark's struct-key semantics:
+            -- all-NULL keys form ONE distinct group instead of being skipped
+            cast(greatest(0, count(*) - count(distinct coalesce(cast(event_id as varchar), chr(0)))) as bigint) as m_uniq,
             cast(count(*) as bigint) as m_rows
           from events
         )
@@ -2041,6 +2066,44 @@ def oracle_sql() -> dict[str, str]:
                cast(0 as bigint), m_nn_user <= 0 from m
         union all select 'unique:event_id', 'unique', 'event_id', m_uniq,
                cast(0 as bigint), m_uniq <= 0 from m
+        order by rule_id
+        """,
+        "check_suite_approx": """
+        -- unique_sampled replica: est = 2^shift * count(distinct keys in the
+        -- md5-60-bit slice below 2^60/2^shift); integer-exact, engine-portable
+        with k as (
+          select
+            coalesce(cast(event_id as varchar), chr(0)) as k_eid,
+            concat_ws(chr(31),
+                      coalesce(cast(event_id as varchar), chr(0)),
+                      coalesce(event_type, chr(0))) as k_et,
+            coalesce(cast(user_id as varchar), chr(0)) as k_uid,
+            event_id
+          from events
+        ), m as (
+          select
+            cast(greatest(0, count(*) - count(distinct k_eid)) as bigint) as m_uniq,
+            cast(greatest(0, count(*) - 8 * count(distinct case
+              when cast(('0x' || substr(md5(k_uid), 1, 15)) as bigint)
+                   < cast(144115188075855872 as bigint) then k_uid end)) as bigint) as m_uid,
+            cast(greatest(0, count(*) - 4 * count(distinct case
+              when cast(('0x' || substr(md5(k_et), 1, 15)) as bigint)
+                   < cast(288230376151711744 as bigint) then k_et end)) as bigint) as m_et,
+            cast(sum(case when event_id is null then 1 else 0 end) as bigint) as m_nn,
+            cast(count(*) as bigint) as m_rows
+          from k
+        )
+        select 'min_rows:1' as rule_id, 'min_rows' as kind, '' as "column",
+               m_rows as metric, cast(1 as bigint) as threshold,
+               m_rows >= 1 as passed from m
+        union all select 'not_null:event_id', 'not_null', 'event_id', m_nn,
+               cast(0 as bigint), m_nn <= 0 from m
+        union all select 'unique:event_id', 'unique', 'event_id', m_uniq,
+               cast(0 as bigint), m_uniq <= 0 from m
+        union all select 'unique_sampled:event_id,event_type', 'unique_sampled',
+               'event_id,event_type', m_et, cast(100 as bigint), m_et <= 100 from m
+        union all select 'unique_sampled:user_id', 'unique_sampled', 'user_id',
+               m_uid, cast(1000000 as bigint), m_uid <= 1000000 from m
         order by rule_id
         """,
         "stream_dedup": f"""

@@ -17,6 +17,7 @@ from medea_spark.checks.suite import (
     not_null,
     run_check_suite,
     unique,
+    unique_sampled,
 )
 from medea_spark.checks.uniqueness import duplicate_keys, uniqueness_report
 
@@ -32,6 +33,7 @@ __all__ = [
     "not_null",
     "run_check_suite",
     "unique",
+    "unique_sampled",
     "diff_tables",
     "drift_decision",
     "duplicate_keys",

@@ -159,3 +159,77 @@ def test_check_suite_rejects_duplicate_ids(spark):
 
     with pytest.raises(ValueError, match="duplicate rule_ids"):
         run_check_suite(spark.range(1), [min_rows(1, rule_id="x"), min_rows(2, rule_id="x")])
+
+
+def test_unique_null_key_semantics(spark):
+    """Struct keys make all-NULL rows ONE distinct group (documented):
+    3 rows with NULL ids = 1 group -> surplus 2, not the SQL
+    count(distinct)-skips-NULLs answer of 3."""
+    from medea_spark.checks import run_check_suite, unique
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (None, "c"), (1, "d"), (1, "e")],
+        ["event_id", "x"],
+    )
+    got = {r.rule_id: r.metric for r in run_check_suite(df, [unique(["event_id"])]).collect()}
+    assert got["unique:event_id"] == 3  # 5 rows - 2 groups (NULL-group + {1})
+
+
+def test_unique_approx_hll_no_expand(spark):
+    """unique(approx=True): the HLL estimate lands within the rsd band
+    on a known-cardinality table, and the plan contains NO Expand node
+    (the whole point — exact countDistinct would add one)."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.checks import run_check_suite, unique
+
+    df = spark.range(20000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 500).alias("user_id")
+    )
+    rules = [
+        unique(["user_id"], approx=True, rsd=0.02, max_violations=20000),
+        unique(["event_id"], approx=True, rsd=0.02, max_violations=1000),
+    ]
+    got = {r.rule_id: r.metric for r in run_check_suite(df, rules).collect()}
+    # true surplus: 20000-500=19500 and 0; HLL rsd=0.02 -> +-3 sigma bands
+    assert abs(got["unique_approx:user_id"] - 19500) <= 3 * 0.02 * 500 + 1
+    assert got["unique_approx:event_id"] <= 3 * 0.02 * 20000
+    plan = df.agg(*[r.metric_expr.alias(f"m{i}") for i, r in enumerate(rules)])
+    assert "Expand" not in plan._jdf.queryExecution().executedPlan().toString()
+    # SEVERAL exact uniques on different keys DO expand (the documented
+    # cost this path avoids; a single distinct agg plans without Expand)
+    exact = df.agg(
+        unique(["user_id"]).metric_expr.alias("m1"),
+        unique(["event_id"]).metric_expr.alias("m2"),
+    )
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+
+
+def test_unique_sampled_matches_manual_estimator(spark):
+    """unique_sampled is deterministic: recompute the hash-slice
+    estimator in plain Python over the same rows and demand equality
+    (the same arithmetic the DuckDB oracle runs)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from medea_spark.checks import run_check_suite, unique_sampled
+
+    rows = [(i, f"u{i % 37}") for i in range(4000)] + [(None, None)] * 3
+    df = spark.createDataFrame(rows, ["event_id", "name"])
+    shift = 2
+    got = {
+        r.rule_id: (r.metric, r.passed)
+        for r in run_check_suite(
+            df, [unique_sampled(["name"], shift=shift, max_violations=10**6)]
+        ).collect()
+    }
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    keys = {("u%d" % (i % 37)) for i in range(4000)} | {"\x00"}
+    sampled = {k for k in keys if h60(k) < (1 << 60) >> shift}
+    est = len(sampled) * (1 << shift)
+    want = max(0, 4003 - est)
+    assert got["unique_sampled:name"] == (want, True)
