@@ -1097,6 +1097,35 @@ def q_temporal_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_dispatch_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row schema dispatch by a DATA column (engine/dispatch.py):
+    one kernel pass validates three file families against three
+    different schemas, selected by event_type — click rows against the
+    closed {"k": number} object, view rows against the any-schema,
+    purchase rows against a $string schema (their object payloads all
+    fail NOT_ONE_OF_OPTIONS) — and error rows, which have NO
+    registered schema, fail the dedicated NO_SCHEMA_FOR_KEY
+    constraint.  No per-family scan fan-out, no join; DuckDB replays
+    each family's verdict independently."""
+    from medea_spark.engine import validate_table_dispatched
+
+    schemas = {
+        "click": _events_graph(),
+        "view": compile_schema_text("$schema $start\n"),
+        "purchase": compile_schema_text("$schema $start\n    $type\n        $string\n"),
+    }
+    df = _events_with_content(spark, sf_dir).select("event_id", "event_type", "content")
+    out = validate_table_dispatched(df, schemas, key_col="event_type")
+    return out.select(
+        "event_id",
+        F.col("event_type").alias("schema_key"),
+        "is_valid",
+        F.get(F.col("violations"), 0)
+        .getField("failed_constraint")
+        .alias("first_violation"),
+    ).orderBy("event_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a candidate-pair graph
     (pipeline/components.py): a deterministic edge set with REAL
@@ -1340,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_events": q_stratified_sample_events,
         "sessionize_events": q_sessionize_events,
         "temporal_validate_events": q_temporal_validate_events,
+        "dispatch_validate": q_dispatch_validate,
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
@@ -1989,6 +2019,38 @@ def oracle_sql() -> dict[str, str]:
                          then (case when content is null or not json_valid(content)
                                     then 'NOT_JSON' end)
                     else failed_constraint end as first_violation
+        from judged order by event_id
+        """,
+        "dispatch_validate": f"""
+        with mutated as (
+            select event_id, event_type, ({_ORACLE_CONTENT}) as content from events
+        ), judged as (
+            select event_id, event_type, content,
+                   ({_ORACLE_CONSTRAINT}) as failed_constraint
+            from mutated
+        )
+        select event_id,
+               event_type as schema_key,
+               case when event_type = 'click' then failed_constraint is null
+                    when event_type = 'view'
+                         then (content is not null and json_valid(content))
+                    when event_type = 'purchase'
+                         -- nested CASE, not AND: DuckDB's vectorized AND
+                         -- evaluates json_type() on malformed input
+                         then (case when content is null or not json_valid(content)
+                                    then false
+                                    else json_type(content) = 'VARCHAR' end)
+                    else false end as is_valid,
+               case when event_type = 'click' then failed_constraint
+                    when event_type = 'view'
+                         then (case when content is null or not json_valid(content)
+                                    then 'NOT_JSON' end)
+                    when event_type = 'purchase'
+                         then (case when content is null or not json_valid(content)
+                                    then 'NOT_JSON'
+                                    when json_type(content) <> 'VARCHAR'
+                                    then 'NOT_ONE_OF_OPTIONS' end)
+                    else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
         """,
         "dedup_clusters": """

@@ -13,6 +13,11 @@ from medea_spark.engine.partitioning import (
     with_partition_columns,
 )
 from medea_spark.engine.dedup_validate import validate_table_deduped
+from medea_spark.engine.dispatch import (
+    NO_SCHEMA_FOR_KEY,
+    make_dispatch_validation_udf,
+    validate_table_dispatched,
+)
 from medea_spark.engine.io import (
     ensure_kernel_parallelism,
     read_repo_files,
@@ -37,6 +42,9 @@ from medea_spark.engine.validate import (
 
 __all__ = [
     "NO_ACTIVE_SCHEMA",
+    "NO_SCHEMA_FOR_KEY",
+    "make_dispatch_validation_udf",
+    "validate_table_dispatched",
     "SchemaVersion",
     "assign_schema_version",
     "make_versioned_validation_udf",

@@ -68,6 +68,11 @@ def _boundaries_us(versions: list[SchemaVersion]) -> list[int]:
     ]
     if len(set(us)) != len(us):
         raise ValueError("duplicate effective_from timestamps in schema history")
+    # Duplicate version ids would silently collapse in the graphs dict
+    # (validate_table_versioned keys graphs by version) — the earlier
+    # window would validate against the later graph with no error.
+    if len({v.version for v in versions}) != len(versions):
+        raise ValueError("duplicate version ids in schema history")
     return us
 
 

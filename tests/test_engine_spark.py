@@ -424,3 +424,117 @@ def test_validate_table_versioned_dispatches_per_row(spark):
     assert out[4][0:2] == (1, False)
     assert out[5] == (2, True, [])
     assert out[6] == (2, False, ["NOT_JSON"])
+
+
+def test_versioned_history_rejects_duplicate_version_ids():
+    """Two SchemaVersions sharing a version id would silently collapse
+    in the graphs dict (the earlier window would validate against the
+    later graph) — must raise instead."""
+    from datetime import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.engine import SchemaVersion, assign_schema_version
+
+    g = compile_schema_text("$schema $start\n    $type\n        $number\n")
+    with pytest.raises(ValueError, match="duplicate version ids"):
+        assign_schema_version(
+            F.lit("2024-01-01").cast("timestamp"),
+            [
+                SchemaVersion(1, datetime(2024, 1, 1), g),
+                SchemaVersion(1, datetime(2024, 6, 1), g),
+            ],
+        )
+
+
+def test_validate_table_dispatched_by_data_column(spark):
+    """Per-row schema dispatch by a string column: families validate
+    against their own schemas in ONE kernel pass; unregistered and
+    NULL keys fail NO_SCHEMA_FOR_KEY (or fall back to default_key)."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.engine import NO_SCHEMA_FOR_KEY, validate_table_dispatched
+
+    number_schema = compile_schema_text("$schema $start\n    $type\n        $number\n")
+    string_schema = compile_schema_text("$schema $start\n    $type\n        $string\n")
+    schemas = {"num": number_schema, "str": string_schema}
+    rows = [
+        (1, "num", "5"),       # valid number
+        (2, "num", '"x"'),     # number family, string content → invalid
+        (3, "str", '"x"'),     # valid string
+        (4, "str", "5"),       # string family, number content → invalid
+        (5, "zzz", "5"),       # unregistered family
+        (6, None, "5"),        # NULL key
+        (7, "num", None),      # NULL content → NOT_JSON
+        (8, "num", "not json"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "family", "content"])
+    out = {
+        r.i: (r.is_valid, [v.failed_constraint for v in r.violations])
+        for r in validate_table_dispatched(df, schemas, key_col="family").collect()
+    }
+    assert out[1] == (True, [])
+    assert out[2] == (False, ["NOT_ONE_OF_OPTIONS"])
+    assert out[3] == (True, [])
+    assert out[4] == (False, ["NOT_ONE_OF_OPTIONS"])
+    assert out[5] == (False, [NO_SCHEMA_FOR_KEY])
+    assert out[6] == (False, [NO_SCHEMA_FOR_KEY])
+    assert out[7] == (False, ["NOT_JSON"])
+    assert out[8] == (False, ["NOT_JSON"])
+
+    # default_key fallback: unknown/NULL keys validate against 'num'
+    out2 = {
+        r.i: r.is_valid
+        for r in validate_table_dispatched(
+            df, schemas, key_col="family", default_key="num"
+        ).collect()
+    }
+    assert out2[5] is True and out2[6] is True
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not a registered"):
+        validate_table_dispatched(df, schemas, key_col="family", default_key="nope")
+    with pytest.raises(ValueError, match="empty schema registry"):
+        validate_table_dispatched(df, {}, key_col="family")
+
+
+def test_dispatch_agrees_with_single_schema_validation(spark):
+    """Differential: dispatching every row to the SAME schema must
+    reproduce validate_table's verdicts row-for-row (the batch-slicing
+    path changes nothing about the kernel semantics)."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.engine import validate_table, validate_table_dispatched
+
+    g = compile_schema_text(
+        "$schema $start\n"
+        "    $type\n"
+        "        $object\n"
+        "    $properties\n"
+        '        $property-name "k"\n'
+        "        $property-schema $number\n"
+    )
+    docs = [
+        '{"k": 1}', '{"k": "x"}', '{"j": 1}', "[]", "nope", '{"k": 2, "z": 3}', None
+    ]
+    df = (
+        spark.createDataFrame([(i, c) for i, c in enumerate(docs)], ["i", "content"])
+        .withColumn("family", F.lit("only"))
+        .withColumn("repo", F.lit("r1"))
+        .withColumn("path", F.concat(F.lit("p"), F.col("i")))
+        .withColumn("commit", F.lit("c1"))
+    )
+    single = {
+        r.i: (r.is_valid, [v.failed_constraint for v in r.violations])
+        for r in validate_table(df, g, repartition=False).validated.collect()
+    }
+    dispatched = {
+        r.i: (r.is_valid, [v.failed_constraint for v in r.violations])
+        for r in validate_table_dispatched(df, {"only": g}, key_col="family").collect()
+    }
+    assert single == dispatched
