@@ -1149,6 +1149,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(edges).orderBy("doc_id")
 
 
+def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (pipeline/decontaminate.py): every 17th
+    document plays the benchmark; the whole corpus is scanned for
+    8-gram overlap against the eval set's broadcast hash set.  Eval
+    members self-hit at ratio 1.0, near-duplicates partially, clean
+    docs 0 — and short (<8-token) docs report zero n-grams rather than
+    vanishing.  The n-gram hash is the portable 60-bit md5, so DuckDB
+    rebuilds the identical hash sets and the full report matches
+    bit-for-bit."""
+    from medea_spark.pipeline import contamination_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_report(docs, eval_df, n=8).orderBy("doc_id")
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling (pipeline/sampling.py): per-lang
     keep-rates are computed from aggregate token totals to hit a
@@ -1370,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "temporal_validate_events": q_temporal_validate_events,
         "dispatch_validate": q_dispatch_validate,
+        "decontam_docs": q_decontam_docs,
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
@@ -2052,6 +2069,43 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "decontam_docs": r"""
+        -- identical normalization + 8-gram + portable 60-bit md5 hash
+        with norm as (
+          select doc_id,
+                 case when trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                      then []::varchar[]
+                      else string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+                 end as toks
+          from documents
+        ), grams as (
+          select doc_id,
+                 case when len(toks) < 8 then []::bigint[]
+                      else list_distinct(list_transform(
+                        generate_series(1, len(toks) - 7),
+                        i -> cast(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) as bigint)))
+                 end as hashes
+          from norm
+        ), pairs as (
+          select doc_id, unnest(hashes) as h from grams
+        ), ev as (
+          select distinct h from pairs where doc_id % 17 = 0
+        ), hits as (
+          select p.doc_id,
+                 cast(count(*) as bigint) as n_ngrams,
+                 cast(sum(case when e.h is not null then 1 else 0 end) as bigint) as n_contaminated
+          from pairs p left join ev e using (h)
+          group by p.doc_id
+        )
+        select g.doc_id,
+               coalesce(h.n_ngrams, 0) as n_ngrams,
+               coalesce(h.n_contaminated, 0) as n_contaminated,
+               round(coalesce(h.n_contaminated, 0) / greatest(coalesce(h.n_ngrams, 0), 1), 6)
+                 as contamination_ratio,
+               coalesce(h.n_contaminated, 0) > 0 as is_contaminated
+        from grams g left join hits h using (doc_id)
+        order by g.doc_id
         """,
         "dedup_clusters": """
         with recursive e as (

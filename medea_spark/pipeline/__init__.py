@@ -27,6 +27,7 @@ from medea_spark.pipeline.multimodal import (
     synthetic_media_table,
 )
 from medea_spark.pipeline.asof import asof_join
+from medea_spark.pipeline.decontaminate import contamination_report, ngram_hashes
 from medea_spark.pipeline.components import (
     connected_components,
     duplicate_clusters,
@@ -83,6 +84,8 @@ __all__ = [
     "LANG_PROFILES",
     "doc_trigrams",
     "asof_join",
+    "contamination_report",
+    "ngram_hashes",
     "build_training_mix",
     "connected_components",
     "deterministic_sample",

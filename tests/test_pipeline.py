@@ -806,6 +806,96 @@ def test_duplicate_clusters_keeper(spark):
                     100: (100, True), 101: (100, False)}
 
 
+def test_contamination_report_semantics(spark):
+    """8-gram overlap: a doc sharing an 8-token run with the eval set
+    is flagged, a 7-token overlap is NOT, short docs report zero
+    n-grams, and the ratio math matches a hand count."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.pipeline import contamination_report
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            # 10 tokens copied verbatim -> contains eval 8-grams
+            (1, "intro words " + eval_text + " closing remark"),
+            # only a 7-token run shared ("quick...the", broken after) -> clean
+            (2, "the quick brown fox jumps over the SNAPPED different tail now"),
+            (3, "completely unrelated text with many boring tokens here today"),
+            (4, "too short"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame([(eval_text,)], ["text"])
+    out = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.is_contaminated)
+        for r in contamination_report(corpus, eval_df, n=8).collect()
+    }
+    # doc 1: 14 tokens + 10-token quote -> some hits; exactly the 3 full
+    # 8-grams of the quote appear (quote has 10 tokens -> 3 8-grams)
+    assert out[1][2] is True and out[1][1] == 3
+    assert out[2] == (4, 0, False)          # 11 tokens -> 4 8-grams, no hit
+    assert out[3][2] is False
+    assert out[4] == (0, 0, False)
+    assert out[5] == (0, 0, False)
+    # every corpus row gets a report row
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_contamination_report_broadcast_plan(spark):
+    """The eval hash set broadcasts: the corpus side must join via
+    BroadcastHashJoin (no shuffle of the exploded corpus pairs)."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.pipeline import contamination_report
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta eta theta iota doc "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    rpt = contamination_report(docs, docs.limit(5), n=8)
+    plan = rpt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # and the report is self-consistent: eval members hit themselves
+    got = {r.doc_id: r.is_contaminated for r in rpt.collect()}
+    assert got[0] is True
+
+
+def test_ngram_hashes_match_python_reference(spark):
+    """Differential vs a plain-Python recompute of the normalized
+    8-gram 60-bit hashes (the same arithmetic the DuckDB oracle
+    runs)."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from medea_spark.pipeline import ngram_hashes
+
+    texts = [
+        "The  quick,  Brown FOX!! jumps over 42 lazy dogs again and again",
+        "one two three four five six seven eight nine",
+        "seven tokens only in this one here",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r.i: sorted(r.h)
+        for r in df.select("i", ngram_hashes(F.col("t"), 8).alias("h")).collect()
+    }
+
+    def py_hashes(text, n=8):
+        toks = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split()
+        if not toks or toks == [""] or len(toks) < n:
+            return []
+        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return sorted(int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams)
+
+    assert got == {i: py_hashes(t) for i, t in enumerate(texts)}
+
+
 def test_training_mix_hits_budget_and_weights(spark):
     """Rates land the sampled token total near the budget at the target
     mixture; an undersized stratum caps at rate 1.0 (keep everything,
