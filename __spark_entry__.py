@@ -217,6 +217,25 @@ def q_colstats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def q_colstats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quantiles (checks/stats.py column_quantiles, exact
+    path): one aggregate computes five probabilities for three numeric
+    columns; Spark's exact `percentile` (linear interpolation on sorted
+    values) is bit-identical to DuckDB's `quantile_cont` — verified
+    here as a differential.  The 100-TB path is the approx
+    (Greenwald-Khanna sketch) variant, unit-tested for rank-error
+    bounds rather than oracled (sketches are engine-specific)."""
+    from medea_spark.checks import column_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_quantiles(
+        li,
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        probs=(0.1, 0.25, 0.5, 0.75, 0.99),
+        approx=False,
+    ).orderBy("col_name", "prob")
+
+
 def q_dup_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-key detection (C10).  Default path: plain hash-agg —
     Catalyst's map-side partial agg already bounds hot-key reducer load
@@ -1352,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "medea_violation_rows": q_medea_violation_rows,
         "medea_validation_summary": q_medea_validation_summary,
         "colstats_lineitem": q_colstats_lineitem,
+        "colstats_quantiles": q_colstats_quantiles,
         "dup_keys_events": q_dup_keys_events,
         "uniqueness_events": q_uniqueness_events,
         "stream_census": q_stream_census,
@@ -1485,6 +1505,26 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(case when failed_constraint is null then 0 else 1 end) as bigint) as n_invalid,
                count(distinct sha256(content)) as distinct_sha
         from judged
+        """,
+        "colstats_quantiles": """
+        with q as (
+          select quantile_cont(l_extendedprice, [0.1, 0.25, 0.5, 0.75, 0.99]) as qa,
+                 quantile_cont(l_quantity,      [0.1, 0.25, 0.5, 0.75, 0.99]) as qb,
+                 quantile_cont(l_discount,      [0.1, 0.25, 0.5, 0.75, 0.99]) as qc
+          from lineitem
+        ), p(i, prob) as (
+          values (1, cast(0.1 as double)), (2, cast(0.25 as double)),
+                 (3, cast(0.5 as double)), (4, cast(0.75 as double)),
+                 (5, cast(0.99 as double))
+        ), c(col_name) as (
+          values ('l_extendedprice'), ('l_quantity'), ('l_discount')
+        )
+        select c.col_name, p.prob,
+               cast(case c.col_name when 'l_extendedprice' then q.qa[p.i]
+                                    when 'l_quantity' then q.qb[p.i]
+                                    else q.qc[p.i] end as double) as value
+        from q, p, c
+        order by col_name, prob
         """,
         "colstats_lineitem": """
         with cols as (

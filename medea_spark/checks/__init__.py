@@ -7,7 +7,7 @@ from medea_spark.checks.drift import (
     lang_size_histogram,
 )
 from medea_spark.checks.referential import orphan_rows, referential_report
-from medea_spark.checks.stats import column_stats, diff_tables, top_k
+from medea_spark.checks.stats import column_quantiles, column_stats, diff_tables, top_k
 from medea_spark.checks.suite import (
     Rule,
     accepted_values,
@@ -26,6 +26,7 @@ __all__ = [
     "accepted_values",
     "chi_square_p_value",
     "chi_square_statistic",
+    "column_quantiles",
     "column_stats",
     "in_range",
     "matches",

@@ -50,6 +50,48 @@ def column_stats(
     )
 
 
+def column_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    approx: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Long-format per-column quantiles: (col_name, prob, value) — one
+    aggregate pass for every (column, probability) pair.
+
+    ``approx=True`` (default, the 100 TB answer) uses
+    ``approx_percentile`` — a bounded-memory, mergeable Greenwald-Khanna
+    sketch whose rank error is ≤ 1/``accuracy``.  The exact path
+    (``approx=False``) buffers every value of each column in the
+    aggregation — fine at test scale and bit-identical to DuckDB's
+    ``quantile_cont`` (linear interpolation on the sorted values, same
+    IEEE arithmetic — the oracle differential), but NOT for 100 TB.
+    NULLs are ignored by both engines; an all-NULL column yields NULL
+    quantiles."""
+    if not cols:
+        raise ValueError("column_quantiles needs at least one column")
+    plist = list(probs)
+    fn = "percentile_approx" if approx else "percentile"
+    extra = f", {accuracy}" if approx else ""
+    one = df.agg(
+        *[
+            F.expr(
+                f"{fn}(`{c}`, array({', '.join(map(repr, plist))}){extra})"
+            ).alias(f"{c}__q")
+            for c in cols
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{c}', {repr(p)}D, cast(`{c}__q`[{i}] as double)"
+        for c in cols
+        for i, p in enumerate(plist)
+    )
+    return one.selectExpr(
+        f"stack({len(cols) * len(plist)}, {stack_args}) as (col_name, prob, value)"
+    )
+
+
 def top_k(df: DataFrame, group_cols: list[str], k: int = 10) -> DataFrame:
     """Top-k groups by count, with deterministic tie-breaking.  A
     global sort of an aggregated (small) relation — Catalyst runs it

@@ -161,6 +161,48 @@ def test_check_suite_rejects_duplicate_ids(spark):
         run_check_suite(spark.range(1), [min_rows(1, rule_id="x"), min_rows(2, rule_id="x")])
 
 
+def test_column_quantiles_exact_and_approx(spark):
+    """Exact path: linear interpolation on a hand-computable series
+    (0..999 -> q50 = 499.5); approx path: rank error within the
+    1/accuracy GK bound; all-NULL columns yield NULL, and NULLs are
+    ignored."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.checks import column_quantiles
+
+    df = spark.range(1000).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(None).cast("double").alias("all_null"),
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("half_null"),
+    )
+    exact = {
+        (r.col_name, r.prob): r.value
+        for r in column_quantiles(
+            df, ["x", "all_null", "half_null"], probs=(0.25, 0.5, 0.75), approx=False
+        ).collect()
+    }
+    assert exact[("x", 0.5)] == 499.5
+    assert exact[("x", 0.25)] == 249.75
+    assert exact[("all_null", 0.5)] is None
+    # NULLs ignored: half_null holds evens 0..998 -> median 499.0
+    assert exact[("half_null", 0.5)] == 499.0
+
+    approx = {
+        (r.col_name, r.prob): r.value
+        for r in column_quantiles(
+            df, ["x"], probs=(0.25, 0.5, 0.75), approx=True, accuracy=10000
+        ).collect()
+    }
+    # rank error <= n/accuracy = 0.1 ranks -> within 1 value of exact
+    for p, want in ((0.25, 249.75), (0.5, 499.5), (0.75, 749.25)):
+        assert abs(approx[("x", p)] - want) <= 1.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one column"):
+        column_quantiles(df, [])
+
+
 def test_unique_null_key_semantics(spark):
     """Struct keys make all-NULL rows ONE distinct group (documented):
     3 rows with NULL ids = 1 group -> surplus 2, not the SQL
