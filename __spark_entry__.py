@@ -1168,6 +1168,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(edges).orderBy("doc_id")
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (pipeline/textstats.py
+    repetition_stats): per-document excess-word fraction plus top/excess
+    2-gram and 3-gram fractions, all columnar (sorted-array fold for
+    the top-gram multiplicity — no explode, no shuffle).  Integer
+    ratios in IEEE doubles; DuckDB rebuilds the identical n-gram
+    multisets and per-gram counts."""
+    from medea_spark.pipeline import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, "doc_id", "text", ns=(2, 3)).orderBy("doc_id")
+
+
 def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (pipeline/decontaminate.py): every 17th
     document plays the benchmark; the whole corpus is scanned for
@@ -1407,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_validate_events": q_temporal_validate_events,
         "dispatch_validate": q_dispatch_validate,
         "decontam_docs": q_decontam_docs,
+        "repetition_profile": q_repetition_profile,
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
@@ -2109,6 +2123,49 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "repetition_profile": r"""
+        with norm as (
+          select doc_id,
+                 case when trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                      then []::varchar[]
+                      else string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+                 end as toks
+          from documents
+        ), grams as (
+          select doc_id, toks,
+                 case when len(toks) < 2 then []::varchar[]
+                      else list_transform(generate_series(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+1], ' ')) end as g2,
+                 case when len(toks) < 3 then []::varchar[]
+                      else list_transform(generate_series(1, len(toks) - 2),
+                                          i -> array_to_string(toks[i:i+2], ' ')) end as g3
+          from norm
+        ), top2 as (
+          select doc_id, max(cnt) as m from (
+            select doc_id, g, count(*) as cnt
+            from (select doc_id, unnest(g2) as g from grams) group by doc_id, g
+          ) group by doc_id
+        ), top3 as (
+          select doc_id, max(cnt) as m from (
+            select doc_id, g, count(*) as cnt
+            from (select doc_id, unnest(g3) as g from grams) group by doc_id, g
+          ) group by doc_id
+        )
+        select g.doc_id,
+               cast(len(g.toks) as int) as n_words,
+               round((len(g.toks) - len(list_distinct(g.toks))) / greatest(len(g.toks), 1), 6)
+                 as excess_word_fraction,
+               round(coalesce(t2.m, 0) / greatest(len(g.g2), 1), 6) as top_2gram_fraction,
+               round((len(g.g2) - len(list_distinct(g.g2))) / greatest(len(g.g2), 1), 6)
+                 as excess_2gram_fraction,
+               round(coalesce(t3.m, 0) / greatest(len(g.g3), 1), 6) as top_3gram_fraction,
+               round((len(g.g3) - len(list_distinct(g.g3))) / greatest(len(g.g3), 1), 6)
+                 as excess_3gram_fraction
+        from grams g
+        left join top2 t2 using (doc_id)
+        left join top3 t3 using (doc_id)
+        order by g.doc_id
         """,
         "decontam_docs": r"""
         -- identical normalization + 8-gram + portable 60-bit md5 hash

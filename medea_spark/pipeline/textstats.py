@@ -303,3 +303,99 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_guess_from_scores(F.col("_tp_lang_scores")).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters).
+# ---------------------------------------------------------------------------
+
+def _rep_tokens(col: Column) -> Column:
+    """Normalized word tokens for repetition stats: lowercase, non-
+    alphanumerics collapsed to spaces (the decontamination convention —
+    portable to SQL engines verbatim); empty text → empty array."""
+    t = F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams WITH multiplicity (no distinct — repetition
+    stats need the multiset).  ``sequence(1, 0)`` counts DOWN, hence
+    the short-input guard."""
+    k = F.size(toks)
+    return F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element — max run length of the
+    sorted array, via one sequential ``aggregate`` fold (O(len) per
+    row; interpreted like every HOF lambda, but each step is three
+    scalar ops)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(a, x):
+        run = F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, lambda a: a["best"])
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/C4 quality-filter
+    family), all columnar:
+
+    * ``n_words`` — normalized word count
+    * ``excess_word_fraction`` — (words - distinct words) / words:
+      mass of repeated word occurrences
+    * per n in ``ns``: ``top_{n}gram_fraction`` (occurrences of the
+      single most frequent n-gram / all n-gram occurrences) and
+      ``excess_{n}gram_fraction`` ((occurrences - distinct) / occurrences)
+
+    Boilerplate-heavy or degenerate documents score high; a training
+    pipeline drops rows above thresholds.  Every stat is an integer
+    ratio in IEEE doubles, so SQL engines reproduce them bit-for-bit.
+    Tokens and each n-gram multiset are staged as named columns so the
+    interpreted fold runs once per row (the SPARK-36718 staging
+    convention used across this module)."""
+    c = F.col(text_col)
+    staged = df.select(
+        F.col(id_col), _rep_tokens(c).alias("_rw")
+    ).select(
+        F.col(id_col),
+        F.size("_rw").alias("n_words"),
+        F.size(F.array_distinct("_rw")).alias("_rw_distinct"),
+        *[_word_ngrams(F.col("_rw"), n).alias(f"_g{n}") for n in ns],
+    )
+    frac = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)
+    out_cols = [
+        F.col(id_col),
+        F.col("n_words"),
+        frac(F.col("n_words") - F.col("_rw_distinct"), F.col("n_words")).alias(
+            "excess_word_fraction"
+        ),
+    ]
+    for n in ns:
+        g = F.col(f"_g{n}")
+        out_cols.append(
+            frac(_max_multiplicity(g), F.size(g)).alias(f"top_{n}gram_fraction")
+        )
+        out_cols.append(
+            frac(F.size(g) - F.size(F.array_distinct(g)), F.size(g)).alias(
+                f"excess_{n}gram_fraction"
+            )
+        )
+    return staged.select(*out_cols)

@@ -806,6 +806,44 @@ def test_duplicate_clusters_keeper(spark):
                     100: (100, True), 101: (100, False)}
 
 
+def test_repetition_stats_hand_cases(spark):
+    """Known repetition shapes: all-same-word doc saturates every
+    fraction, an all-distinct doc zeroes them, a half-repeated doc
+    matches the hand count, and empty/short docs are 0 (not NULL/crash)."""
+    from medea_spark.pipeline import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            (2, "one two three four five six"),
+            (3, "a b a b a b x y"),
+            (4, "solo"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    # doc 1: 5 words 1 distinct; 4 identical 2-grams; 3 identical 3-grams
+    assert out[1]["excess_word_fraction"] == 0.8
+    assert out[1]["top_2gram_fraction"] == 1.0
+    assert out[1]["excess_2gram_fraction"] == 0.75
+    assert out[1]["top_3gram_fraction"] == 1.0
+    # doc 2: everything distinct
+    assert out[2]["excess_word_fraction"] == 0.0
+    assert out[2]["top_2gram_fraction"] == round(1 / 5, 6)
+    assert out[2]["excess_2gram_fraction"] == 0.0
+    # doc 3: 8 words {a:3,b:3,x:1,y:1} -> excess 4/8; 2-grams:
+    # [ab,ba,ab,ba,ab,bx,xy] -> top 'a b' 3/7, distinct 4 -> excess 3/7
+    assert out[3]["excess_word_fraction"] == 0.5
+    assert out[3]["top_2gram_fraction"] == round(3 / 7, 6)
+    assert out[3]["excess_2gram_fraction"] == round(3 / 7, 6)
+    # short/empty: all-zero, present
+    assert out[4]["n_words"] == 1 and out[4]["top_2gram_fraction"] == 0.0
+    assert out[5]["n_words"] == 0 and out[5]["excess_word_fraction"] == 0.0
+
+
 def test_contamination_report_semantics(spark):
     """8-gram overlap: a doc sharing an 8-token run with the eval set
     is flagged, a 7-token overlap is NOT, short docs report zero
