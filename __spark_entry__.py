@@ -1168,6 +1168,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(edges).orderBy("doc_id")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pipeline/redact.py): deterministic emails / IPv4
+    / phone numbers are injected into a subset of documents, then the
+    scrub replaces them with placeholder tokens and counts each kind —
+    one codegen projection, no Python, no shuffle.  The patterns use
+    the Java-regex ∩ RE2 common subset, so DuckDB replays the
+    identical substitutions on the full redacted text."""
+    from medea_spark.pipeline import scrub_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" contact admin"), d, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" from 10.0."), d % 256, F.lit("."), (d * 3) % 256),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" call +4915"), F.lpad(d.cast("string"), 8, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_table(injected).select(
+        "doc_id", "redacted", "n_email", "n_ip", "n_phone"
+    ).orderBy("doc_id")
+
+
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (pipeline/textstats.py
     repetition_stats): per-document excess-word fraction plus top/excess
@@ -1421,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispatch_validate": q_dispatch_validate,
         "decontam_docs": q_decontam_docs,
         "repetition_profile": q_repetition_profile,
+        "pii_scrub": q_pii_scrub,
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
@@ -2123,6 +2158,35 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "pii_scrub": r"""
+        with injected as (
+          select doc_id,
+                 text
+                 || case when doc_id % 5 = 0
+                         then ' contact admin' || doc_id || '@example.com now' else '' end
+                 || case when doc_id % 7 = 0
+                         then ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) else '' end
+                 || case when doc_id % 11 = 0
+                         then ' call +4915' || lpad(cast(doc_id as varchar), 8, '0') else '' end
+                   as text
+          from documents
+        ), s1 as (
+          select doc_id, text,
+                 cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as int) as n_email,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') as t1
+          from injected
+        ), s2 as (
+          select doc_id, n_email,
+                 cast(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as int) as n_ip,
+                 regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') as t2
+          from s1
+        )
+        select doc_id,
+               regexp_replace(t2, '\+\d{9,15}\b', '<PHONE>', 'g') as redacted,
+               n_email, n_ip,
+               cast(len(regexp_extract_all(t2, '\+\d{9,15}\b')) as int) as n_phone
+        from s2 order by doc_id
         """,
         "repetition_profile": r"""
         with norm as (

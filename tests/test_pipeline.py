@@ -806,6 +806,33 @@ def test_duplicate_clusters_keeper(spark):
                     100: (100, True), 101: (100, False)}
 
 
+def test_pii_scrub_hand_cases(spark):
+    """Placeholder substitution + counts: multiple matches per kind,
+    sequential semantics (an email's digits are not re-matched as a
+    phone), and clean text passes through untouched."""
+    from medea_spark.pipeline import scrub_table
+
+    rows = [
+        (1, "mail a.b+c@x-corp.io and d@e.org now"),
+        (2, "server 10.0.0.1 and 192.168.1.255 up"),
+        (3, "call +491234567890 or write n5@ex.com"),
+        (4, "no pii here at all"),
+        (5, "+123 too short, 999.999.999.999 still an ip shape"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.redacted, r.n_email, r.n_ip, r.n_phone)
+        for r in scrub_table(df).collect()
+    }
+    assert out[1] == ("mail <EMAIL> and <EMAIL> now", 2, 0, 0)
+    assert out[2] == ("server <IP> and <IP> up", 0, 2, 0)
+    assert out[3] == ("call <PHONE> or write <EMAIL>", 1, 0, 1)
+    assert out[4] == ("no pii here at all", 0, 0, 0)
+    # +123 below the 9-digit floor is NOT a phone; the pattern scrub is
+    # shape-based, so 999.* quads still redact (documented behavior)
+    assert out[5] == ("+123 too short, <IP> still an ip shape", 0, 1, 0)
+
+
 def test_repetition_stats_hand_cases(spark):
     """Known repetition shapes: all-same-word doc saturates every
     fraction, an all-distinct doc zeroes them, a half-repeated doc
