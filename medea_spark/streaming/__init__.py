@@ -4,6 +4,7 @@ from medea_spark.streaming.validate_stream import (
     REPO_STATE_OUTPUT,
     REPO_STATE_SCHEMA,
     dedup_stream,
+    dispatch_stream,
     file_stream_source,
     repo_violation_state,
     validate_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "REPO_STATE_OUTPUT",
     "REPO_STATE_SCHEMA",
     "dedup_stream",
+    "dispatch_stream",
     "file_stream_source",
     "repo_violation_state",
     "validate_stream",

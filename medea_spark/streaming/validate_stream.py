@@ -45,6 +45,29 @@ def validate_stream(
     )
 
 
+def dispatch_stream(
+    stream_df: DataFrame,
+    schemas: dict[str, SchemaGraph],
+    key_col: str,
+    content_col: str = "content",
+    default_key: str | None = None,
+) -> DataFrame:
+    """Per-row schema dispatch on a stream (see engine/dispatch.py):
+    the dispatch kernel UDF is stateless, so it drops into a streaming
+    plan unchanged — heterogeneous file families validate against
+    their own schemas as they arrive, with identical semantics to the
+    batch path (parity-tested)."""
+    from medea_spark.engine.dispatch import make_dispatch_validation_udf
+
+    udf = make_dispatch_validation_udf(schemas, default_key)
+    return (
+        stream_df.withColumn("_vr", udf(F.col(content_col), F.col(key_col)))
+        .withColumn("is_valid", F.col("_vr.is_valid"))
+        .withColumn("violations", F.col("_vr.violations"))
+        .drop("_vr")
+    )
+
+
 def windowed_violation_counts(
     validated: DataFrame,
     ts_col: str = "ts",

@@ -62,6 +62,63 @@ def test_stream_verdicts_match_batch(spark, stream_dir):
     assert out.filter(F.col("is_valid") != F.col("expected_valid")).count() == 0
 
 
+def test_dispatch_stream_matches_batch(spark, stream_dir):
+    """Per-row schema dispatch on a stream: availableNow replay of the
+    corpus through dispatch_stream (keyed by lang) must equal the
+    batch validate_table_dispatched verdicts row-for-row — including
+    NO_SCHEMA_FOR_KEY rows for unregistered languages."""
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.engine import validate_table_dispatched
+    from medea_spark.streaming import dispatch_stream
+
+    # two registered families: python rows validate against the corpus
+    # schema, json rows against the any-schema; everything else
+    # (go/java/...) is unregistered -> NO_SCHEMA_FOR_KEY
+    schemas = {
+        "python": corpus_schema_graph(),
+        "json": compile_schema_text("$schema $start\n"),
+    }
+    schema = _schema_with_ts()
+    src = file_stream_source(spark, stream_dir, schema, max_files_per_trigger=3)
+    q = (
+        dispatch_stream(src, schemas, key_col="lang")
+        .select(
+            "repo", "path", "commit", "lang", "is_valid",
+            F.get(F.col("violations"), 0)
+            .getField("failed_constraint")
+            .alias("first_violation"),
+        )
+        .writeStream.format("memory")
+        .queryName("dispatch_parity")
+        .outputMode("append")
+        .start()
+    )
+    _run_query(q)
+    streamed = {
+        (r.repo, r.path, r.commit): (r.is_valid, r.first_violation)
+        for r in spark.table("dispatch_parity").collect()
+    }
+    batch = validate_table_dispatched(
+        spark.read.schema(schema).parquet(stream_dir), schemas, key_col="lang"
+    ).select(
+        "repo", "path", "commit", "is_valid",
+        F.get(F.col("violations"), 0)
+        .getField("failed_constraint")
+        .alias("first_violation"),
+    )
+    want = {
+        (r.repo, r.path, r.commit): (r.is_valid, r.first_violation)
+        for r in batch.collect()
+    }
+    # (repo, path, commit) can collide in the generated corpus, so the
+    # dict may be slightly smaller than N — row count checked on the
+    # table, verdict parity on the keyed dicts
+    assert spark.table("dispatch_parity").count() == N
+    assert streamed == want
+    # the unregistered-family rows really exist in this corpus
+    assert any(v[1] == "NO_SCHEMA_FOR_KEY" for v in streamed.values())
+
+
 def test_windowed_violation_counts(spark, stream_dir):
     schema = _schema_with_ts()
     src = file_stream_source(spark, stream_dir, schema, max_files_per_trigger=3)
