@@ -17,7 +17,7 @@ DataFrame-only algorithms are provided:
 
 * ``algorithm="star"``: the alternating large-star / small-star
   algorithm (Kiveris et al., "Connected Components in MapReduce and
-  Beyond", SoCC'14 — public paper, see PAPERS.md), which contracts
+  Beyond", ACM SoCC 2014 — public paper), which contracts
   components in O(log n) rounds regardless of diameter.  The fallback
   for pathological long-chain graphs where propagation's
   diameter-bound guard trips.  More shuffles per round, so it is NOT
