@@ -347,6 +347,22 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the same two document
+    snapshots as drift_chi2 (checks/drift.py psi_statistic): the
+    credit-scoring drift metric, Σ (p-q)·ln(p/q) over the shared lang
+    cells with an epsilon floor for novel/vanished categories.  Pure
+    relational + ln; DuckDB recomputes the identical proportions and
+    log terms."""
+    from medea_spark.checks import psi_statistic
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    baseline = lang_size_histogram(docs.filter(src_num % 2 == 0))
+    current = lang_size_histogram(docs.filter(src_num % 2 == 1))
+    return psi_statistic(current, baseline)
+
+
 def q_topk_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k with deterministic tie-break (C13)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1223,10 +1239,15 @@ def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs 0 — and short (<8-token) docs report zero n-grams rather than
     vanishing.  The n-gram hash is the portable 60-bit md5, so DuckDB
     rebuilds the identical hash sets and the full report matches
-    bit-for-bit."""
+    bit-for-bit.  Tokens are staged + pinned (SPARK-36718 convention)
+    and the scan is widened via ensure_kernel_parallelism — the gram
+    stage is CPU-bound and a small parquet scans as one split."""
+    from medea_spark.engine import ensure_kernel_parallelism
     from medea_spark.pipeline import contamination_report
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = ensure_kernel_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     eval_df = docs.filter(F.col("doc_id") % 17 == 0)
     return contamination_report(docs, eval_df, n=8).orderBy("doc_id")
 
@@ -1425,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_orphans": q_ri_orphans,
         "hist_lang_size": q_hist_lang_size,
         "drift_chi2": q_drift_chi2,
+        "drift_psi": q_drift_psi,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
@@ -1662,6 +1684,23 @@ def oracle_sql() -> dict[str, str]:
                count(*) - 1 as dof,
                max(n_cur) as n_current,
                max(n_base) as n_baseline
+        from cells
+        """,
+        "drift_psi": """
+        with hist as (
+            select lang,
+                   cast(sum(case when cast(substr(source, 4, 10) as int) % 2 = 1 then 1 else 0 end) as bigint) as o,
+                   cast(sum(case when cast(substr(source, 4, 10) as int) % 2 = 0 then 1 else 0 end) as bigint) as b
+            from documents group by lang
+        ), tot as (
+            select cast(sum(o) as bigint) as n_cur, cast(sum(b) as bigint) as n_base from hist
+        ), cells as (
+            select greatest(h.o / cast(t.n_cur as double), 1e-6) as p,
+                   greatest(h.b / cast(t.n_base as double), 1e-6) as q
+            from hist h cross join tot t
+        )
+        select round(sum((p - q) * ln(p / q)), 6) as psi,
+               cast(count(*) as bigint) as n_cells
         from cells
         """,
         "topk_langs": """
@@ -2241,7 +2280,7 @@ def oracle_sql() -> dict[str, str]:
                  end as toks
           from documents
         ), grams as (
-          select doc_id,
+          select doc_id, toks,
                  case when len(toks) < 8 then []::bigint[]
                       else list_distinct(list_transform(
                         generate_series(1, len(toks) - 7),
@@ -2260,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
           group by p.doc_id
         )
         select g.doc_id,
+               cast(len(g.toks) as int) as n_tokens,
                coalesce(h.n_ngrams, 0) as n_ngrams,
                coalesce(h.n_contaminated, 0) as n_contaminated,
                round(coalesce(h.n_contaminated, 0) / greatest(coalesce(h.n_ngrams, 0), 1), 6)

@@ -5,6 +5,7 @@ from medea_spark.checks.drift import (
     chi_square_statistic,
     drift_decision,
     lang_size_histogram,
+    psi_statistic,
 )
 from medea_spark.checks.referential import orphan_rows, referential_report
 from medea_spark.checks.stats import column_quantiles, column_stats, diff_tables, top_k
@@ -39,6 +40,7 @@ __all__ = [
     "drift_decision",
     "duplicate_keys",
     "lang_size_histogram",
+    "psi_statistic",
     "orphan_rows",
     "referential_report",
     "top_k",

@@ -137,3 +137,41 @@ def drift_decision(
         "n_current": int(row["n_current"] or 0),
         "n_baseline": int(row["n_baseline"] or 0),
     }
+
+
+def psi_statistic(
+    current: DataFrame,
+    baseline: DataFrame,
+    on: list[str] | None = None,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """One-row Population Stability Index: Σ (p_cur - p_base) ·
+    ln(p_cur / p_base) over the shared cell universe (full-outer join,
+    like the chi-square path).  The credit-scoring drift metric with
+    the usual reading: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25
+    drifted.  Zero cells take an ``epsilon`` proportion floor so novel
+    or vanished categories contribute large-but-finite terms.  Pure
+    relational + ``ln`` — IEEE-portable, engine-differential-testable.
+    """
+    on = on or ["lang"]
+    cur = current.groupBy(*on).agg(F.sum("cnt").alias("o"))
+    base = baseline.groupBy(*on).agg(F.sum("cnt").alias("b"))
+    joined = cur.join(base, on=on, how="full_outer").select(
+        *on,
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+    )
+    totals = joined.agg(F.sum("o").alias("n_cur"), F.sum("b").alias("n_base"))
+    with_p = joined.crossJoin(F.broadcast(totals)).select(
+        F.greatest(F.col("o") / F.col("n_cur"), F.lit(epsilon)).alias("p"),
+        F.greatest(F.col("b") / F.col("n_base"), F.lit(epsilon)).alias("q"),
+    )
+    return with_p.agg(
+        # round(6): the handful-of-cells sum is reproducible far beyond
+        # 1e-6, but summation ORDER differs across engines/partitionings
+        # and could flip the last ulp of an unrounded value
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )

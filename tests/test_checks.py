@@ -80,6 +80,30 @@ def test_drift_detected_between_base_and_drifted(spark):
     assert yes_drift["statistic"] > no_drift["statistic"]
 
 
+def test_psi_statistic_orders_drift(spark):
+    """PSI: ~0 for an identical distribution, larger under real drift
+    than under resampling noise, and a hand-computed two-cell case is
+    exact."""
+    from medea_spark.checks import psi_statistic
+
+    base = lang_size_histogram(generate_corpus(spark, 4000, seed=42, drift=False))
+    same = lang_size_histogram(generate_corpus(spark, 4000, seed=43, drift=False))
+    drifted = lang_size_histogram(generate_corpus(spark, 4000, seed=42, drift=True))
+    self_psi = psi_statistic(base, base).collect()[0]
+    noise_psi = psi_statistic(same, base).collect()[0].psi
+    drift_psi = psi_statistic(drifted, base).collect()[0].psi
+    assert self_psi.psi == 0.0 and self_psi.n_cells > 0
+    assert drift_psi > noise_psi >= 0.0
+    assert drift_psi > 0.1  # the standard "shift" threshold
+
+    # hand case: cur 90/10 vs base 50/50
+    cur = spark.createDataFrame([("a", 90), ("b", 10)], ["lang", "cnt"])
+    bas = spark.createDataFrame([("a", 50), ("b", 50)], ["lang", "cnt"])
+    got = psi_statistic(cur, bas).collect()[0].psi
+    want = round((0.9 - 0.5) * math.log(0.9 / 0.5) + (0.1 - 0.5) * math.log(0.1 / 0.5), 6)
+    assert got == want
+
+
 def test_chi_square_p_value_sanity():
     # Known quantiles: chi2(0.95, dof=4) ≈ 9.488, chi2(0.99, dof=4) ≈ 13.277
     assert math.isclose(chi_square_p_value(9.488, 4), 0.05, abs_tol=2e-3)
