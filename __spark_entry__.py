@@ -1218,6 +1218,21 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (pipeline/chunking.py): 24-token
+    windows with 6-token overlap — every document yields
+    1 + ceil((n-24)/18) chunks, the last one short, empty docs one
+    empty chunk.  Tokens staged + pinned; one posexplode bounded by
+    n/stride per row.  DuckDB rebuilds every window's offsets and
+    reconstructed text verbatim."""
+    from medea_spark.pipeline import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=24, overlap=6).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (pipeline/textstats.py
     repetition_stats): per-document excess-word fraction plus top/excess
@@ -1478,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": q_decontam_docs,
         "repetition_profile": q_repetition_profile,
         "pii_scrub": q_pii_scrub,
+        "chunk_docs": q_chunk_docs,
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
@@ -2197,6 +2213,28 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "chunk_docs": r"""
+        with norm as (
+          select doc_id,
+                 case when trim(text) = '' then []::varchar[]
+                      else regexp_split_to_array(trim(text), '\s+') end as toks
+          from documents
+        ), meta as (
+          select doc_id, toks, len(toks) as n,
+                 case when len(toks) <= 24 then 1
+                      else 1 + cast(ceil((len(toks) - 24) / 18.0) as int) end as n_chunks
+          from norm
+        )
+        select doc_id,
+               cast(n as int) as n_tokens,
+               n_chunks,
+               cast(i as int) as chunk_id,
+               cast(i * 18 as int) as chunk_start,
+               cast(least(n - i * 18, 24) as int) as chunk_len,
+               array_to_string(toks[i * 18 + 1 : i * 18 + 24], ' ') as chunk_text
+        from meta, unnest(generate_series(0, n_chunks - 1)) as t(i)
+        order by doc_id, chunk_id
         """,
         "pii_scrub": r"""
         with injected as (

@@ -27,6 +27,7 @@ from medea_spark.pipeline.multimodal import (
     synthetic_media_table,
 )
 from medea_spark.pipeline.asof import asof_join
+from medea_spark.pipeline.chunking import chunk_documents
 from medea_spark.pipeline.decontaminate import contamination_report, ngram_hashes, ngram_hashes_from_tokens
 from medea_spark.pipeline.redact import PII_PATTERNS, pii_counts, redact_pii, scrub_table
 from medea_spark.pipeline.components import (
@@ -86,6 +87,7 @@ __all__ = [
     "LANG_PROFILES",
     "doc_trigrams",
     "asof_join",
+    "chunk_documents",
     "contamination_report",
     "ngram_hashes",
     "ngram_hashes_from_tokens",

@@ -806,6 +806,45 @@ def test_duplicate_clusters_keeper(spark):
                     100: (100, True), 101: (100, False)}
 
 
+def test_chunk_documents_windows(spark):
+    """Sliding-window math: exact starts/lengths, seam overlap, short
+    and empty docs, and full coverage (every token appears in some
+    chunk; consecutive chunks share exactly `overlap` tokens)."""
+    import pytest
+
+    from medea_spark.pipeline import chunk_documents
+
+    toks = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(toks)),       # 25 tokens, chunk 10/overlap 4 -> stride 6
+            (2, "a b c"),               # short -> single chunk
+            (3, ""),                    # empty -> single empty chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=4).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # 25 tokens: 1 + ceil((25-10)/6) = 4 chunks at starts 0,6,12,18
+    assert [r.chunk_start for r in c1] == [0, 6, 12, 18]
+    assert [r.chunk_len for r in c1] == [10, 10, 10, 7]
+    assert all(r.n_chunks == 4 and r.n_tokens == 25 for r in c1)
+    assert c1[0].chunk_text == " ".join(toks[0:10])
+    assert c1[3].chunk_text == " ".join(toks[18:25])
+    # seam: consecutive chunks share exactly `overlap` tokens
+    assert c1[0].chunk_text.split()[-4:] == c1[1].chunk_text.split()[:4]
+    # coverage: union of chunk tokens == document tokens
+    assert set().union(*[set(r.chunk_text.split()) for r in c1]) == set(toks)
+    assert [ (r.chunk_id, r.chunk_len, r.chunk_text) for r in by_doc[2] ] == [(0, 3, "a b c")]
+    assert [ (r.chunk_id, r.chunk_len, r.chunk_text) for r in by_doc[3] ] == [(0, 0, "")]
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
 def test_pii_scrub_hand_cases(spark):
     """Placeholder substitution + counts: multiple matches per kind,
     sequential semantics (an email's digits are not re-matched as a
