@@ -1218,6 +1218,32 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (pipeline/normalize.py): deterministic
+    decomposed sequences (combining acute, Hangul jamo) are injected
+    into a third of the documents; the Arrow-batched normalizer
+    canonicalizes them and flags changed rows.  Python's unicodedata
+    and DuckDB's utf8proc implement the same Unicode canonical
+    algorithm, so the normalized strings are a true engine
+    differential."""
+    from medea_spark.pipeline import normalize_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" cafe\u0301 \u1100\u1161"))
+            .when(d % 3 == 1, F.lit(" caf\u00e9 \uac00"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_table(injected).select(
+        "doc_id", "normalized", "is_changed"
+    ).orderBy("doc_id")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (pipeline/chunking.py): 24-token
     windows with 6-token overlap — every document yields
@@ -1494,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "pii_scrub": q_pii_scrub,
         "chunk_docs": q_chunk_docs,
+        "unicode_nfc": q_unicode_nfc,
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
@@ -2213,6 +2240,21 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "unicode_nfc": """
+        with injected as (
+          select doc_id,
+                 text || case when doc_id % 3 = 0
+                              then ' cafe' || chr(769) || ' ' || chr(4352) || chr(4449)
+                              when doc_id % 3 = 1
+                              then ' caf' || chr(233) || ' ' || chr(44032)
+                              else '' end as text
+          from documents
+        )
+        select doc_id,
+               nfc_normalize(text) as normalized,
+               nfc_normalize(text) <> text as is_changed
+        from injected order by doc_id
         """,
         "chunk_docs": r"""
         with norm as (

@@ -28,6 +28,7 @@ from medea_spark.pipeline.multimodal import (
 )
 from medea_spark.pipeline.asof import asof_join
 from medea_spark.pipeline.chunking import chunk_documents
+from medea_spark.pipeline.normalize import normalize_table, normalize_text
 from medea_spark.pipeline.decontaminate import contamination_report, ngram_hashes, ngram_hashes_from_tokens
 from medea_spark.pipeline.redact import PII_PATTERNS, pii_counts, redact_pii, scrub_table
 from medea_spark.pipeline.components import (
@@ -88,6 +89,8 @@ __all__ = [
     "doc_trigrams",
     "asof_join",
     "chunk_documents",
+    "normalize_table",
+    "normalize_text",
     "contamination_report",
     "ngram_hashes",
     "ngram_hashes_from_tokens",

@@ -1457,3 +1457,38 @@ def test_connected_components_random_graph_vs_union_find(spark):
     df = spark.createDataFrame(edges, ["a", "b"])
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_normalize_table_nfc(spark):
+    """NFC canonicalization: decomposed sequences (combining marks,
+    Hangul jamo) compose; already-canonical text passes through with
+    is_changed=False; NULL stays NULL; NFKD decomposes the ligature
+    NFC leaves alone; bad form names raise."""
+    import pytest
+
+    from medea_spark.pipeline import normalize_table, normalize_text
+
+    rows = [
+        (1, "café"),      # decomposed -> precomposed e-acute
+        (2, "café"),       # already NFC
+        (3, "가"),    # jamo pair -> U+AC00
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    out = {r.i: (r.normalized, r.is_changed) for r in normalize_table(df).collect()}
+    assert out[1] == ("café", True)
+    assert out[2] == ("café", False)
+    assert out[3] == ("가", True)
+    assert out[4] == (None, False)
+    assert out[5] == ("plain ascii", False)
+
+    got = (
+        df.limit(1)
+        .select(normalize_text(F.lit("ﬁle"), "NFKD").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got == "file"
+    with pytest.raises(ValueError, match="form"):
+        normalize_text(F.col("text"), "NFX")
