@@ -1218,6 +1218,52 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED cleaning pipeline (pipeline/prep.py): NFC
+    normalize → PII redact → quality gate (≥8 words, excess-word
+    fraction ≤ 0.9) → exact dedup on the cleaned-content hash (min-id
+    keeper; the pipeline's single content exchange) → 24/6
+    sliding-window chunking.  Work is injected for EVERY stage: two
+    byte-form variants per tenth doc (decomposed vs precomposed
+    suffix) that become identical only AFTER normalization — so they
+    dedup together (min-id keeper) but not with the original; a
+    degenerate spam doc the quality gate drops; a short doc the word
+    floor drops; a PII doc whose chunks carry the placeholder tokens.
+    DuckDB replays the ENTIRE chain — the composition is gated, not
+    just the parts."""
+    from medea_spark.engine import ensure_kernel_parallelism
+    from medea_spark.pipeline import prepare_corpus
+
+    docs = ensure_kernel_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    variant_a = tenth.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" cafe\u0301")).alias("text"),
+    )
+    variant_b = tenth.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" caf\u00e9")).alias("text"),
+    )
+    extras = spark.createDataFrame(
+        [
+            (900000, "spam " * 49 + "spam"),
+            (910000, "too short"),
+            (
+                920000,
+                "please contact a@b.co or call +491234567890 about "
+                "billing issues today ok",
+            ),
+        ],
+        ["doc_id", "text"],
+    )
+    full = docs.unionByName(variant_a).unionByName(variant_b).unionByName(extras)
+    return prepare_corpus(full, chunk_tokens=24, overlap=6).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (pipeline/normalize.py): deterministic
     decomposed sequences (combining acute, Hangul jamo) are injected
@@ -1521,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "chunk_docs": q_chunk_docs,
         "unicode_nfc": q_unicode_nfc,
+        "corpus_prep": q_corpus_prep,
         "dedup_clusters": q_dedup_clusters,
         "training_mix": q_training_mix,
         "check_suite_events": q_check_suite_events,
@@ -2240,6 +2287,69 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "corpus_prep": r"""
+        -- the full composed pipeline: nfc -> redact -> quality -> dedup -> chunk
+        with injected as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 100000, text || ' cafe' || chr(769)
+          from documents where doc_id % 10 = 0
+          union all
+          select doc_id + 200000, text || ' caf' || chr(233)
+          from documents where doc_id % 10 = 0
+          union all
+          select * from (values
+            (900000, repeat('spam ', 49) || 'spam'),
+            (910000, 'too short'),
+            (920000, 'please contact a@b.co or call +491234567890 about billing issues today ok')
+          ) v(doc_id, text)
+        ), cleaned as (
+          select doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(nfc_normalize(text),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\+\d{9,15}\b', '<PHONE>', 'g') as text
+          from injected
+        ), quality as (
+          select doc_id, text,
+                 case when trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                      then []::varchar[]
+                      else string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+                 end as qtoks
+          from cleaned
+        ), passed as (
+          select doc_id, text from quality
+          where len(qtoks) >= 8
+            and (len(qtoks) - len(list_distinct(qtoks))) / greatest(len(qtoks), 1) <= 0.9
+        ), kept as (
+          select doc_id, text from (
+            select doc_id, text,
+                   row_number() over (partition by md5(text) order by doc_id) as rn
+            from passed
+          ) where rn = 1
+        ), norm as (
+          select doc_id,
+                 case when trim(text) = '' then []::varchar[]
+                      else regexp_split_to_array(trim(text), '\s+') end as toks
+          from kept
+        ), meta as (
+          select doc_id, toks, len(toks) as n,
+                 case when len(toks) <= 24 then 1
+                      else 1 + cast(ceil((len(toks) - 24) / 18.0) as int) end as n_chunks
+          from norm
+        )
+        select doc_id,
+               cast(n as int) as n_tokens,
+               n_chunks,
+               cast(i as int) as chunk_id,
+               cast(i * 18 as int) as chunk_start,
+               cast(least(n - i * 18, 24) as int) as chunk_len,
+               array_to_string(toks[i * 18 + 1 : i * 18 + 24], ' ') as chunk_text
+        from meta, unnest(generate_series(0, n_chunks - 1)) as t(i)
+        order by doc_id, chunk_id
         """,
         "unicode_nfc": """
         with injected as (

@@ -29,6 +29,7 @@ from medea_spark.pipeline.multimodal import (
 from medea_spark.pipeline.asof import asof_join
 from medea_spark.pipeline.chunking import chunk_documents
 from medea_spark.pipeline.normalize import normalize_table, normalize_text
+from medea_spark.pipeline.prep import prepare_corpus
 from medea_spark.pipeline.decontaminate import contamination_report, ngram_hashes, ngram_hashes_from_tokens
 from medea_spark.pipeline.redact import PII_PATTERNS, pii_counts, redact_pii, scrub_table
 from medea_spark.pipeline.components import (
@@ -90,6 +91,7 @@ __all__ = [
     "asof_join",
     "chunk_documents",
     "normalize_table",
+    "prepare_corpus",
     "normalize_text",
     "contamination_report",
     "ngram_hashes",

@@ -1492,3 +1492,36 @@ def test_normalize_table_nfc(spark):
     assert got == "file"
     with pytest.raises(ValueError, match="form"):
         normalize_text(F.col("text"), "NFX")
+
+
+def test_prepare_corpus_stage_effects(spark):
+    """The composed pipeline: byte-form variants dedup only AFTER
+    normalization (min-id keeper), the quality gate drops degenerate
+    and short docs, PII reaches chunks redacted, and survivors chunk
+    with the standard window math."""
+    from medea_spark.pipeline import prepare_corpus
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base + " café"),        # decomposed suffix
+        (2, base + " café"),         # precomposed suffix -> dup of 1 after NFC
+        (3, base),                    # distinct survivor
+        (4, "spam " * 20 + "spam"),   # excess fraction ~0.95 -> dropped
+        (5, "way too short"),         # < 8 words -> dropped
+        (6, "please contact a@b.co or call +491234567890 about billing today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_corpus(df, chunk_tokens=6, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 3, 6}          # 2 deduped, 4+5 dropped
+    # doc 1 survived as keeper; its text is the NORMALIZED form
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert c1[0].n_tokens == 11
+    assert c1[-1].chunk_text.endswith("café")
+    # 11 tokens, chunk 6 stride 4 -> 1 + ceil(5/4) = 3 chunks
+    assert [r.chunk_start for r in c1] == [0, 4, 8]
+    # PII redacted before chunking
+    joined = " ".join(r.chunk_text for r in sorted(by_doc[6], key=lambda r: r.chunk_id))
+    assert "<EMAIL>" in joined and "<PHONE>" in joined and "a@b.co" not in joined
