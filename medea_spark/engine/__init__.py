@@ -21,6 +21,7 @@ from medea_spark.engine.dispatch import (
 from medea_spark.engine.io import (
     ensure_kernel_parallelism,
     read_repo_files,
+    write_bucketed,
     write_partitioned,
     write_table,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "detect_skewed_keys",
     "get_spark",
     "read_repo_files",
+    "write_bucketed",
     "write_partitioned",
     "write_table",
     "make_validation_udf",

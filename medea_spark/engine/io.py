@@ -55,6 +55,41 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(target)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) write: rows land in ``num_buckets``
+    files per partition by ``hash(bucket_cols)``, optionally sorted
+    within each bucket.
+
+    THE pre-shuffle for repeated big joins/aggregations at 100 TB: two
+    tables bucketed on the same key with the same bucket count join
+    with ZERO exchange (and zero sort, when ``sort_cols`` matches the
+    join key) — the shuffle is paid ONCE at write time instead of per
+    query.  This is the parquet/metastore twin of Iceberg's
+    ``bucket(N, col)`` partition transform (write_partitioned covers
+    the identity-partition case).
+
+    Spark only persists bucket metadata through ``saveAsTable``, so
+    ``table`` must be a table identifier, not a path."""
+    if not _is_table_identifier(table):
+        raise ValueError(
+            "bucketed writes need a table identifier (bucket metadata "
+            "lives in the catalog; a bare parquet path loses it)"
+        )
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 # Logical node classes under which the DataFrame's partitioning is
 # still the file scan's.  A WHITELIST, checked by walking the ANALYZED
 # logical plan's node classes (a handful of py4j calls — no physical

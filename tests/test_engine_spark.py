@@ -538,3 +538,54 @@ def test_dispatch_agrees_with_single_schema_validation(spark):
         for r in validate_table_dispatched(df, {"only": g}, key_col="family").collect()
     }
     assert single == dispatched
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    join WITHOUT any shuffle — and with no sort either when sortBy
+    matches the join key.  The 100-TB pre-shuffle: paid once at write
+    time, amortized over every later join.  Also: a bucketed-vs-
+    unbucketed join shuffles ONLY the unbucketed side."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from medea_spark.engine import write_bucketed
+
+    spark.sql("drop table if exists bt_events")
+    spark.sql("drop table if exists bt_users")
+    spark.sql("drop table if exists bt_plain")
+    events = spark.range(10000).select(
+        (F.col("id") % 500).alias("user_id"), F.col("id").alias("event_id")
+    )
+    users = spark.range(500).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("score")
+    )
+    write_bucketed(events, "bt_events", ["user_id"], num_buckets=8,
+                   sort_cols=["user_id"])
+    write_bucketed(users, "bt_users", ["user_id"], num_buckets=8,
+                   sort_cols=["user_id"])
+    users.write.mode("overwrite").format("parquet").saveAsTable("bt_plain")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        both = spark.table("bt_events").join(spark.table("bt_users"), "user_id")
+        plan = both._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert both.count() == 10000
+
+        # bucketed ⋈ unbucketed: exactly ONE exchange (the plain side)
+        half = spark.table("bt_events").join(spark.table("bt_plain"), "user_id")
+        plan2 = half._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange") == 1, plan2
+
+        # bucketed groupBy on the bucket key also skips the shuffle
+        agg = spark.table("bt_events").groupBy("user_id").count()
+        plan3 = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan3, plan3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    with pytest.raises(ValueError, match="table identifier"):
+        write_bucketed(events, str(tmp_path / "nope"), ["user_id"])
