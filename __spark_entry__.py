@@ -557,6 +557,33 @@ with docs2 as (
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (pipeline/dedup.py ngram_containment_pairs):
+    every 20th document gets a QUOTE twin (id +400000) holding only its
+    first 12 words — shingle-subset inclusion with containment 1.0 but
+    Jaccard far below any dedup threshold, the case the symmetric
+    measure cannot see.  contained_doc names the smaller-set side."""
+    from medea_spark.pipeline import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 800))
+    quotes = docs.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 12)
+        ).alias("text"),
+    )
+    return ngram_containment_pairs(
+        docs.unionByName(quotes),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.9,
+        stage_location=f"{_STAGE_ROOT}/containment_stage",
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, quality, lang-ID, fingerprint."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
@@ -1543,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
+        "containment_pairs": q_containment_pairs,
         "jaccard_char_pairs": q_jaccard_char_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "simhash_groups": q_simhash_groups,
@@ -1912,6 +1940,39 @@ def oracle_sql() -> dict[str, str]:
         join sizes sa on sa.doc_id = doc_a
         join sizes sb on sb.doc_id = doc_b
         where cast(i as double) / (sa.n_sh + sb.n_sh - i) >= 0.5
+        order by doc_a, doc_b
+        """,
+        "containment_pairs": r"""
+        with subset as (
+            select doc_id, text from documents
+            where doc_id % 20 = 0 and doc_id < 800
+            union all
+            select doc_id + 400000,
+                   array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ')
+            from documents where doc_id % 20 = 0 and doc_id < 800
+        ), words as (
+            select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as w
+            from subset
+        ), sh as (
+            select distinct doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                         i -> array_to_string(w[i:i+2], ' '))) as shingle
+            from words
+        ), sizes as (
+            select doc_id, count(*) as n_sh from sh group by doc_id
+        ), inter as (
+            select x.doc_id as doc_a, y.doc_id as doc_b, count(*) as i
+            from sh x join sh y using (shingle)
+            where x.doc_id < y.doc_id
+            group by 1, 2
+        )
+        select doc_a, doc_b,
+               round(cast(i as double) / least(sa.n_sh, sb.n_sh), 6) as containment,
+               case when sa.n_sh <= sb.n_sh then doc_a else doc_b end as contained_doc
+        from inter
+        join sizes sa on sa.doc_id = doc_a
+        join sizes sb on sb.doc_id = doc_b
+        where cast(i as double) / least(sa.n_sh, sb.n_sh) >= 0.9
         order by doc_a, doc_b
         """,
         "jaccard_char_pairs": """

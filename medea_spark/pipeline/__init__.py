@@ -5,6 +5,7 @@ from medea_spark.pipeline.dedup import (
     exact_duplicate_groups,
     minhash_lsh_candidates,
     minhash_signatures,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     shingles,
     simhash,
@@ -118,6 +119,7 @@ __all__ = [
     "plane_component",
     "minhash_lsh_candidates",
     "minhash_signatures",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "punct_ratio",
     "quality_score",

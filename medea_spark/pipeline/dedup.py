@@ -104,6 +104,34 @@ def ngram_jaccard_pairs(
     cache of the full shingle explode is the thing that turns into a
     memory/disk cliff at 100×).
     """
+    stats = _shingle_pair_stats(
+        df, id_col, text_col, n, max_posting, unit, stage_location
+    )
+    return (
+        stats.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sh_a") + F.col("sh_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _shingle_pair_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_posting: int,
+    unit: str,
+    stage_location: str | None,
+) -> DataFrame:
+    """Shared pair machinery for set-overlap measures:
+    (doc_a, doc_b, inter, sh_a, sh_b) for every co-shingled pair a < b,
+    over the post-cap shingle universe (see ngram_jaccard_pairs for
+    why the sizes must be post-cap too)."""
     raw = shingles(df, id_col, text_col, n, unit=unit)
     posting_ok = (
         raw.groupBy("shingle")
@@ -111,10 +139,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_") <= max_posting)
         .select("shingle")
     )
-    # Sizes are computed over the *post-cap* shingle universe so the
-    # Jaccard numerator and denominator agree: counting capped-out hot
-    # shingles in the denominator (but never the numerator) would
-    # systematically underestimate similarity near the threshold.
     sh = raw.join(posting_ok, "shingle")
     if stage_location is not None:
         sh.write.mode("overwrite").parquet(stage_location)
@@ -131,17 +155,48 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return pairs.join(
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"),
+        "doc_b",
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int = 1000,
+    unit: str = "word",
+    stage_location: str | None = None,
+) -> DataFrame:
+    """Document pairs (a < b) with shingle-set CONTAINMENT ≥ threshold:
+    ``containment = |A∩B| / min(|A|, |B|)`` — the asymmetric measure
+    that catches a short document quoted inside a long one, which
+    Jaccard misses entirely (a 50-shingle quote in a 5000-shingle doc
+    has Jaccard ≈ 0.01 but containment 1.0).  ``contained_doc`` names
+    the smaller-set side (ties → doc_a, deterministic).  Same posting
+    cap / staging contract as :func:`ngram_jaccard_pairs`."""
+    stats = _shingle_pair_stats(
+        df, id_col, text_col, n, max_posting, unit, stage_location
+    )
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        stats.withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("sh_a", "sh_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sh_a") + F.col("sh_b") - F.col("inter")), 6
+            "contained_doc",
+            F.when(F.col("sh_a") <= F.col("sh_b"), F.col("doc_a")).otherwise(
+                F.col("doc_b")
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "containment", "contained_doc")
     )
 
 

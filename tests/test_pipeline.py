@@ -1525,3 +1525,28 @@ def test_prepare_corpus_stage_effects(spark):
     # PII redacted before chunking
     joined = " ".join(r.chunk_text for r in sorted(by_doc[6], key=lambda r: r.chunk_id))
     assert "<EMAIL>" in joined and "<PHONE>" in joined and "a@b.co" not in joined
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A 12-word quote inside a 60-word doc: containment 1.0 (flagged),
+    Jaccard tiny (invisible to the symmetric measure at any sane
+    threshold); contained_doc names the quote side."""
+    from medea_spark.pipeline import ngram_containment_pairs, ngram_jaccard_pairs
+
+    long_words = [f"tok{i}" for i in range(60)]
+    rows = [
+        (1, " ".join(long_words)),
+        (2, " ".join(long_words[:12])),      # pure quote of doc 1
+        (3, "completely different words entirely here okay then fine"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = {
+        (r.doc_a, r.doc_b): (r.containment, r.contained_doc)
+        for r in ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert cont == {(1, 2): (1.0, 2)}
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []                          # the quote is invisible to Jaccard
+    # shared-machinery sanity: the 10/58 shingle overlap is ~0.172
+    low = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1).collect()
+    assert [(r.doc_a, r.doc_b) for r in low] == [(1, 2)]
