@@ -16,6 +16,7 @@ from medea_spark.compiler.analyzer import (
     prim_node,
 )
 from medea_spark.compiler.diff import is_backward_compatible, schema_diff
+from medea_spark.compiler.infer import infer_schema_text
 from medea_spark.compiler.errors import (
     MedeaAnalysisError,
     MedeaError,
@@ -40,6 +41,7 @@ def load_schema(path: str) -> SchemaGraph:
 __all__ = [
     "is_backward_compatible",
     "schema_diff",
+    "infer_schema_text",
     "ANY_NODE",
     "ArraySpec",
     "CompiledSchema",

@@ -327,3 +327,81 @@ def test_schema_diff_and_compat():
     # identical graphs: no changes, compatible
     assert schema_diff(v1, v1) == []
     assert is_backward_compatible(v1, v1) == (True, [])
+
+
+def test_infer_schema_round_trip_and_closed_world():
+    """infer_schema_text: the inferred text compiles, every sample
+    validates, required/optional split matches presence, and the
+    closed-world default rejects unseen keys and wrong types."""
+    import pytest
+
+    from medea_spark.compiler import compile_schema_text, infer_schema_text
+    from medea_spark.kernel.validator import validate_document
+
+    docs = [
+        '{"name": "a", "size": 3, "tags": ["x", "y"], "meta": {"k": 1}}',
+        '{"name": "b", "size": 4.5, "tags": [], "extra": null}',
+        '{"name": "c", "size": 0, "tags": ["z"], "meta": {"k": 2}}',
+    ]
+    text = infer_schema_text(docs)
+    g = compile_schema_text(text)
+    for d in docs:
+        ok, viols = validate_document(g, d)
+        assert ok, (d, viols)
+    # optional/required split: name+size+tags in all docs, meta/extra not
+    assert text.count("$optional-property") == 2
+    # closed world: unseen key banned; observed types enforced
+    assert validate_document(g, '{"name": "a", "size": 1, "tags": [], "zz": 1}')[1][0][1] \
+        == "ADDITIONAL_PROP_FOUND_BUT_BANNED"
+    assert validate_document(g, '{"name": 5, "size": 1, "tags": []}')[1][0][1] \
+        == "NOT_ONE_OF_OPTIONS"
+    # mixed-type property -> generated child schema with alternation
+    mixed = infer_schema_text(['{"v": 1}', '{"v": "s"}'])
+    gm = compile_schema_text(mixed)
+    assert validate_document(gm, '{"v": 2}')[0]
+    assert validate_document(gm, '{"v": "t"}')[0]
+    assert not validate_document(gm, '{"v": true}')[0]
+
+    with pytest.raises(ValueError, match="zero samples"):
+        infer_schema_text([])
+    with pytest.raises(ValueError, match="sample 1"):
+        infer_schema_text(['{"a": 1}', "not json"])
+
+
+def test_infer_schema_hypothesis_round_trip():
+    """Property: for ANY list of JSON documents, the inferred schema
+    compiles and validates every document it was inferred from."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medea_spark.compiler import compile_schema_text, infer_schema_text
+    from medea_spark.kernel.validator import validate_document
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-10**6, 10**6),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=8),
+    )
+    json_values = st.recursive(
+        scalars,
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(st.text(max_size=6), children, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(json_values, min_size=1, max_size=5))
+    def prop(values):
+        docs = [json.dumps(v) for v in values]
+        g = compile_schema_text(infer_schema_text(docs))
+        for d in docs:
+            ok, viols = validate_document(g, d)
+            assert ok, (d, viols)
+
+    prop()
