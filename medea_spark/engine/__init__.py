@@ -20,6 +20,7 @@ from medea_spark.engine.dispatch import (
 )
 from medea_spark.engine.io import (
     ensure_kernel_parallelism,
+    infer_schema_from_table,
     read_repo_files,
     write_bucketed,
     write_partitioned,
@@ -54,6 +55,7 @@ __all__ = [
     "ANNOTATION_NODE",
     "annotate_sample",
     "ensure_kernel_parallelism",
+    "infer_schema_from_table",
     "PART_ID",
     "RESULT_STRUCT",
     "SALT_ID",

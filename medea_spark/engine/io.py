@@ -207,3 +207,24 @@ def ensure_kernel_parallelism(df: DataFrame, min_partitions: int | None = None) 
     if splits >= min_partitions:
         return df
     return df.repartition(min_partitions)
+
+
+def infer_schema_from_table(
+    df, content_col: str = "content", n: int = 1000
+) -> str:
+    """Driver-side convenience over ``compiler.infer_schema_text``:
+    sample ``n`` non-NULL documents from a table column and infer a
+    ``.medea`` schema (review it, then ``compile_schema_text`` →
+    ``validate_table``).  The limit is pushed into the scan; only the
+    sampled strings reach the driver."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.compiler.infer import infer_schema_text
+
+    rows = (
+        df.select(F.col(content_col))
+        .filter(F.col(content_col).isNotNull())
+        .limit(n)
+        .collect()
+    )
+    return infer_schema_text(r[0] for r in rows)
