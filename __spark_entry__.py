@@ -1332,6 +1332,22 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (textstats.tfidf_top_terms): top-3
+    characteristic terms per document over the first 200 docs, smoothed
+    idf, deterministic term tie-break, ubiquitous terms (df > 80% of
+    docs) dropped before the rank window.  DuckDB recomputes tf/df and
+    the identical IEEE ln scores."""
+    from medea_spark.pipeline import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return tfidf_top_terms(
+        docs, "doc_id", "text", k=3, min_df=1, max_df_fraction=0.8
+    ).orderBy("doc_id", "rank")
+
+
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (pipeline/textstats.py
     repetition_stats): per-document excess-word fraction plus top/excess
@@ -1592,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispatch_validate": q_dispatch_validate,
         "decontam_docs": q_decontam_docs,
         "repetition_profile": q_repetition_profile,
+        "tfidf_terms": q_tfidf_terms,
         "pii_scrub": q_pii_scrub,
         "chunk_docs": q_chunk_docs,
         "unicode_nfc": q_unicode_nfc,
@@ -2448,6 +2465,37 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[i * 18 + 1 : i * 18 + 24], ' ') as chunk_text
         from meta, unnest(generate_series(0, n_chunks - 1)) as t(i)
         order by doc_id, chunk_id
+        """,
+        "tfidf_terms": r"""
+        with subset as (
+          select doc_id, text from documents where doc_id < 200
+        ), n as (
+          select count(*) as n_docs from subset
+        ), toks as (
+          select doc_id, unnest(
+            case when trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                 then []::varchar[]
+                 else string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+            end) as term
+          from subset
+        ), tf as (
+          select doc_id, term, cast(count(*) as bigint) as tf
+          from toks group by doc_id, term
+        ), dfreq as (
+          select term, cast(count(*) as bigint) as df
+          from tf group by term
+          having count(*) >= 1 and count(*) <= 0.8 * (select n_docs from n)
+        ), scored as (
+          select t.doc_id, t.term, t.tf, d.df,
+                 round(t.tf * (ln(((select n_docs from n) + 1.0) / (d.df + 1.0)) + 1.0), 6) as score
+          from tf t join dfreq d using (term)
+        ), ranked as (
+          select *, row_number() over (partition by doc_id order by score desc, term asc) as rank
+          from scored
+        )
+        select doc_id, cast(rank as int) as rank, term, tf, df, score
+        from ranked where rank <= 3
+        order by doc_id, rank
         """,
         "pii_scrub": r"""
         with injected as (

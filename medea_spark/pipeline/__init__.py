@@ -56,6 +56,7 @@ from medea_spark.pipeline.similarity import (
 )
 from medea_spark.pipeline.textstats import (
     repetition_stats,
+    tfidf_top_terms,
     LANG_ORDER,
     LANG_PROFILES,
     doc_trigrams,
@@ -98,6 +99,7 @@ __all__ = [
     "ngram_hashes",
     "ngram_hashes_from_tokens",
     "repetition_stats",
+    "tfidf_top_terms",
     "PII_PATTERNS",
     "pii_counts",
     "redact_pii",

@@ -399,3 +399,64 @@ def repetition_stats(
             )
         )
     return staged.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction.
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+    max_df_fraction: float = 1.0,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF:
+    ``score = tf · (ln((N+1)/(df+1)) + 1)``, ties broken by term
+    (ascending, deterministic).  Output: (id, rank, term, tf, df, score).
+
+    Corpus keyword profiling / cluster labeling for training data.
+    Shape: one token explode (bounded by corpus token count), a
+    term-keyed document-frequency aggregate joined back on the term
+    (a skinny (term, df) relation — broadcastable for real
+    vocabularies), and one per-document rank window — the only
+    doc-keyed exchange.  ``min_df``/``max_df_fraction`` drop hapaxes
+    and stopword-like terms before the window, which is also the skew
+    guard: ubiquitous terms never reach the rank exchange.  Integer
+    tf/df and IEEE ``ln`` make it engine-portable."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    t = F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+    n_docs = df.count()
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.lit(float(max_df_fraction)) * n_docs)
+        )
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )

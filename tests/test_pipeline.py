@@ -1550,3 +1550,37 @@ def test_containment_catches_quotes_jaccard_misses(spark):
     # shared-machinery sanity: the 10/58 shingle overlap is ~0.172
     low = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1).collect()
     assert [(r.doc_a, r.doc_b) for r in low] == [(1, 2)]
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    """Hand-computable corpus: the repeated distinctive term wins, a
+    corpus-wide term is droppable via max_df_fraction, ties break by
+    term ascending, and scores match the smoothed formula exactly."""
+    import math
+
+    from medea_spark.pipeline import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "cherry banana shared"),
+        (3, "durian shared shared"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    idf = lambda d: math.log(4.0 / (d + 1)) + 1.0
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2 and shared tf=1 df=3
+    assert out[(1, 1)] == ("apple", 2, 1, round(2 * idf(1), 6))
+    assert out[(1, 2)] == ("banana", 1, 2, round(1 * idf(2), 6))
+    # doc 2: cherry (df=1) outranks banana (df=2)
+    assert out[(2, 1)][0] == "cherry" and out[(2, 2)][0] == "banana"
+    # doc 3: smoothed idf floors at 1.0, so shared tf=2 df=3 scores
+    # 2*(ln(4/4)+1)=2.0 and beats durian tf=1 df=1 at 1*(ln(2)+1)=1.693
+    assert out[(3, 1)] == ("shared", 2, 3, 2.0)
+    assert out[(3, 2)][0] == "durian"
+
+    # dropping ubiquitous terms: shared (df=3 = all docs) vanishes
+    no_stop = tfidf_top_terms(df, k=3, max_df_fraction=0.7).collect()
+    assert all(r.term != "shared" for r in no_stop)
