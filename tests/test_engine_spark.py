@@ -551,9 +551,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
     from medea_spark.engine import write_bucketed
 
-    spark.sql("drop table if exists bt_events")
-    spark.sql("drop table if exists bt_users")
-    spark.sql("drop table if exists bt_plain")
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bt_events", "bt_users", "bt_plain"):
+        # a fresh session's catalog forgets managed tables but their
+        # warehouse directories persist — drop BOTH or saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS on the next run
+        spark.sql(f"drop table if exists {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     events = spark.range(10000).select(
         (F.col("id") % 500).alias("user_id"), F.col("id").alias("event_id")
     )
