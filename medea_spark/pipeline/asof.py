@@ -35,6 +35,7 @@ def asof_join(
     broadcast_right: bool = True,
     max_history: int | None = None,
     on_overflow: str = "error",
+    assert_unique_ts: bool = False,
 ) -> DataFrame:
     """Left as-of join: every left row gains ``{prefix}{right_ts}`` and
     ``{prefix}{col}`` for each value column, from the latest right row
@@ -58,7 +59,13 @@ def asof_join(
     after that key's (N+1)-latest timestamp and returns NULL/older-
     truncated matches below it (documented lossy policy for
     bounded-staleness probes).  ``max_history=None`` (default) is
-    unbounded — the dimension-snapshot contract."""
+    unbounded — the dimension-snapshot contract.
+
+    ``assert_unique_ts=True`` enforces the tie precondition at
+    runtime: a key with two right rows at the same timestamp fails the
+    job (riding the same history aggregation — no extra pass).  Use it
+    under differential gates, where engines may break ties
+    differently."""
     if not by:
         raise ValueError(
             "asof_join requires at least one equi-key; for a global "
@@ -84,9 +91,27 @@ def asof_join(
     hist_elem = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in vcols]
     )
-    rhist = right.groupBy(*by).agg(
-        F.sort_array(F.collect_list(hist_elem)).alias("_hist")
-    )
+    agg_cols = [F.sort_array(F.collect_list(hist_elem)).alias("_hist")]
+    if assert_unique_ts:
+        agg_cols += [
+            F.count(right_ts).alias("_n_ts"),
+            F.countDistinct(right_ts).alias("_nd_ts"),
+        ]
+    rhist = right.groupBy(*by).agg(*agg_cols)
+    if assert_unique_ts:
+        rhist = rhist.withColumn(
+            "_hist",
+            F.when(
+                F.col("_n_ts") != F.col("_nd_ts"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("asof_join: duplicate right timestamps within a key ("),
+                        (F.col("_n_ts") - F.col("_nd_ts")).cast("string"),
+                        F.lit(" surplus); tie-break would be engine-specific"),
+                    )
+                ),
+            ).otherwise(F.col("_hist")),
+        ).drop("_n_ts", "_nd_ts")
     if max_history is not None:
         h, n = F.col("_hist"), F.size(F.col("_hist"))
         if on_overflow == "error":

@@ -1584,3 +1584,32 @@ def test_tfidf_top_terms_hand_case(spark):
     # dropping ubiquitous terms: shared (df=3 = all docs) vanishes
     no_stop = tfidf_top_terms(df, k=3, max_df_fraction=0.7).collect()
     assert all(r.term != "shared" for r in no_stop)
+
+
+def test_asof_join_assert_unique_ts(spark):
+    """assert_unique_ts: duplicate right timestamps within a key fail
+    loudly (engine-specific tie-breaks would otherwise flake a
+    differential gate); unique histories pass unchanged."""
+    from datetime import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from medea_spark.pipeline import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, "u", t)], ["i", "user", "ts"])
+    clean = spark.createDataFrame(
+        [("u", t, 1.0), ("u", datetime(2024, 1, 2), 2.0)], ["user", "ts", "v"]
+    )
+    out = asof_join(left, clean, by=["user"], assert_unique_ts=True).collect()
+    assert out[0].asof_v == 1.0
+    dup = clean.unionByName(
+        spark.createDataFrame([("u", t, 9.0)], ["user", "ts", "v"])
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate right timestamps"):
+        asof_join(left, dup, by=["user"], assert_unique_ts=True).collect()
+    # without the flag the duplicate resolves by value-struct max (documented)
+    loose = asof_join(left, dup, by=["user"]).collect()
+    assert loose[0].asof_v == 9.0
