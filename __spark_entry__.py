@@ -1188,6 +1188,37 @@ def q_dispatch_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_dispatch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-family validation census over the dispatched table: one
+    map-side-combined aggregation on the dispatch output — rows,
+    verdict split, and NO_SCHEMA_FOR_KEY count per schema family (the
+    operational dashboard row a heterogeneous corpus owner reads)."""
+    from medea_spark.engine import validate_table_dispatched
+
+    schemas = {
+        "click": _events_graph(),
+        "view": compile_schema_text("$schema $start\n"),
+        "purchase": compile_schema_text("$schema $start\n    $type\n        $string\n"),
+    }
+    df = _events_with_content(spark, sf_dir).select("event_id", "event_type", "content")
+    out = validate_table_dispatched(df, schemas, key_col="event_type")
+    return (
+        out.groupBy(F.col("event_type").alias("schema_key"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("is_valid").cast("long")).alias("valid_rows"),
+            F.sum((~F.col("is_valid")).cast("long")).alias("invalid_rows"),
+            F.sum(
+                (
+                    F.get(F.col("violations"), 0).getField("failed_constraint")
+                    == "NO_SCHEMA_FOR_KEY"
+                ).cast("long")
+            ).alias("no_schema_rows"),
+        )
+        .orderBy("schema_key")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a candidate-pair graph
     (pipeline/components.py): a deterministic edge set with REAL
@@ -1606,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "temporal_validate_events": q_temporal_validate_events,
         "dispatch_validate": q_dispatch_validate,
+        "dispatch_census": q_dispatch_census,
         "decontam_docs": q_decontam_docs,
         "repetition_profile": q_repetition_profile,
         "tfidf_terms": q_tfidf_terms,
@@ -2365,6 +2397,34 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "dispatch_census": f"""
+        with mutated as (
+            select event_id, event_type, ({_ORACLE_CONTENT}) as content from events
+        ), judged as (
+            select event_id, event_type, content,
+                   ({_ORACLE_CONSTRAINT}) as failed_constraint
+            from mutated
+        ), rows_ as (
+            select event_type,
+                   case when event_type = 'click' then failed_constraint is null
+                        when event_type = 'view'
+                             then (content is not null and json_valid(content))
+                        when event_type = 'purchase'
+                             then (case when content is null or not json_valid(content)
+                                        then false
+                                        else json_type(content) = 'VARCHAR' end)
+                        else false end as is_valid,
+                   case when event_type in ('click', 'view', 'purchase') then 0
+                        else 1 end as no_schema
+            from judged
+        )
+        select event_type as schema_key,
+               cast(count(*) as bigint) as rows,
+               cast(sum(case when is_valid then 1 else 0 end) as bigint) as valid_rows,
+               cast(sum(case when is_valid then 0 else 1 end) as bigint) as invalid_rows,
+               cast(sum(no_schema) as bigint) as no_schema_rows
+        from rows_ group by event_type order by schema_key
         """,
         "corpus_prep": r"""
         -- the full composed pipeline: nfc -> redact -> quality -> dedup -> chunk
