@@ -596,3 +596,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
     with pytest.raises(ValueError, match="table identifier"):
         write_bucketed(events, str(tmp_path / "nope"), ["user_id"])
+
+
+def test_infer_schema_from_table(spark):
+    """Table-level inference: sample a content column, get a schema
+    that compiles and validates the whole column; NULL contents are
+    excluded from the sample."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.compiler import compile_schema_text
+    from medea_spark.engine import infer_schema_from_table, validate_table_dispatched
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, '{"k": 2.5}'), (3, None), (4, '{"k": 3}')],
+        ["i", "content"],
+    )
+    text = infer_schema_from_table(df, "content", n=10)
+    g = compile_schema_text(text)
+    out = validate_table_dispatched(
+        df.withColumn("fam", F.lit("only")), {"only": g}, key_col="fam"
+    )
+    rows = {r.i: r.is_valid for r in out.collect()}
+    # non-NULL rows validate; NULL content is NOT_JSON-invalid (the
+    # sample excluded it, and inference never saw it)
+    assert rows == {1: True, 2: True, 3: False, 4: True}
