@@ -1219,6 +1219,30 @@ def q_dispatch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column quality report (pipeline/similarity.py
+    embedding_stats): every encoder failure mode is injected
+    deterministically — NULL vectors, truncated (wrong-dim), NaN
+    components, all-zero — and counted per class; L2-norm quantiles
+    over the surviving clean vectors use exact percentile (identical
+    interpolation in DuckDB).  One aggregate pass."""
+    from medea_spark.pipeline import embedding_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = F.col("vec_id") % 50
+    v = F.col("embedding")
+    broken = emb.select(
+        "vec_id",
+        F.when(m == 0, F.lit(None).cast("array<float>"))
+        .when(m == 1, F.slice(v, 1, 32))
+        .when(m == 2, F.concat(F.array(F.lit(float("nan")).cast("float")), F.slice(v, 2, 63)))
+        .when(m == 3, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .otherwise(v)
+        .alias("embedding"),
+    )
+    return embedding_stats(broken, expected_dim=64)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a candidate-pair graph
     (pipeline/components.py): a deterministic edge set with REAL
@@ -1638,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_validate_events": q_temporal_validate_events,
         "dispatch_validate": q_dispatch_validate,
         "dispatch_census": q_dispatch_census,
+        "embedding_stats": q_embedding_stats,
         "decontam_docs": q_decontam_docs,
         "repetition_profile": q_repetition_profile,
         "tfidf_terms": q_tfidf_terms,
@@ -2397,6 +2422,37 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "embedding_stats": """
+        with broken as (
+          select vec_id,
+                 case when vec_id % 50 = 0 then null
+                      when vec_id % 50 = 1 then embedding[1:32]
+                      when vec_id % 50 = 2
+                           then list_prepend(cast('nan' as float), embedding[2:64])
+                      when vec_id % 50 = 3
+                           then list_transform(embedding, x -> cast(0.0 as float))
+                      else embedding end as embedding
+          from embeddings
+        ), staged as (
+          select embedding is null as is_null,
+                 len(embedding) as dim,
+                 len(list_filter(embedding, x -> x is null or isnan(x) or isinf(x))) as n_bad,
+                 case when embedding is not null and len(embedding) = 64
+                           and len(list_filter(embedding, x -> x is null or isnan(x) or isinf(x))) = 0
+                      then sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double))))
+                 end as nrm
+          from broken
+        )
+        select cast(count(*) as bigint) as n_rows,
+               cast(sum(case when is_null then 1 else 0 end) as bigint) as n_null,
+               cast(sum(case when not is_null and dim <> 64 then 1 else 0 end) as bigint) as n_wrong_dim,
+               cast(sum(case when not is_null and dim = 64 and n_bad > 0 then 1 else 0 end) as bigint) as n_nonfinite,
+               cast(sum(case when nrm = 0.0 then 1 else 0 end) as bigint) as n_zero,
+               round(quantile_cont(nrm, 0.1), 6) as norm_q0_1,
+               round(quantile_cont(nrm, 0.5), 6) as norm_q0_5,
+               round(quantile_cont(nrm, 0.9), 6) as norm_q0_9
+        from staged
         """,
         "dispatch_census": f"""
         with mutated as (

@@ -46,6 +46,7 @@ from medea_spark.pipeline.sampling import (
 )
 from medea_spark.pipeline.sessions import session_stats, sessionize
 from medea_spark.pipeline.similarity import (
+    embedding_stats,
     brute_force_topk,
     cosine,
     cosine_near_dup_pairs,
@@ -92,6 +93,7 @@ __all__ = [
     "doc_trigrams",
     "asof_join",
     "chunk_documents",
+    "embedding_stats",
     "normalize_table",
     "prepare_corpus",
     "normalize_text",

@@ -286,3 +286,59 @@ def cosine_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+def embedding_stats(
+    df: DataFrame,
+    expected_dim: int,
+    vec_col: str = "embedding",
+    norm_probs: tuple[float, ...] = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """One-row quality report for an embedding column — the vector-side
+    twin of checks/stats.py: (n_rows, n_null, n_wrong_dim, n_nonfinite,
+    n_zero, plus one ``norm_q*`` column per probability).
+
+    Broken embeddings (NULL, truncated/padded to the wrong dimension,
+    NaN/Inf components, all-zero — each a real failure mode of batched
+    encoder jobs) are counted per class so a gate can threshold them;
+    the L2-norm quantiles over the CLEAN vectors (exact ``percentile``,
+    linear interpolation — engine-portable) catch scale drift between
+    encoder versions without assuming a distribution.  One aggregate
+    pass; the norm fold and component checks are columnar."""
+    v = F.col(vec_col)
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    n_bad = F.size(
+        F.filter(v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf")))
+    )
+    staged = df.select(
+        v.isNull().alias("_is_null"),
+        F.size(v).alias("_dim"),
+        n_bad.alias("_n_bad"),
+        # norm only for clean, right-dimension vectors — quantiles must
+        # not mix in garbage rows
+        F.when(
+            v.isNotNull() & (F.size(v) == expected_dim) & (n_bad == 0), F.sqrt(sq)
+        ).alias("_norm"),
+    )
+    clean = (
+        (~F.col("_is_null"))
+        & (F.col("_dim") == expected_dim)
+        & (F.col("_n_bad") == 0)
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_is_null").cast("long")).alias("n_null"),
+        F.sum(((~F.col("_is_null")) & (F.col("_dim") != expected_dim)).cast("long")).alias(
+            "n_wrong_dim"
+        ),
+        F.sum(
+            ((~F.col("_is_null")) & (F.col("_dim") == expected_dim) & (F.col("_n_bad") > 0)).cast("long")
+        ).alias("n_nonfinite"),
+        F.sum((clean & (F.col("_norm") == 0.0)).cast("long")).alias("n_zero"),
+        *[
+            F.round(F.expr(f"percentile(_norm, {p!r})"), 6).alias(
+                "norm_q" + str(p).replace(".", "_")
+            )
+            for p in norm_probs
+        ],
+    )

@@ -1613,3 +1613,30 @@ def test_asof_join_assert_unique_ts(spark):
     # without the flag the duplicate resolves by value-struct max (documented)
     loose = asof_join(left, dup, by=["user"]).collect()
     assert loose[0].asof_v == 9.0
+
+
+def test_embedding_stats_failure_classes(spark):
+    """Each encoder failure mode lands in exactly one counter, clean
+    norms drive the quantiles, and garbage rows never pollute them."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from medea_spark.pipeline import embedding_stats
+
+    rows = [
+        (1, [3.0, 4.0]),                 # norm 5
+        (2, [0.0, 1.0]),                 # norm 1
+        (3, None),                       # null
+        (4, [1.0]),                      # wrong dim
+        (5, [float("nan"), 1.0]),        # nonfinite
+        (6, [0.0, 0.0]),                 # zero vector
+        (7, [float("inf"), 2.0]),        # nonfinite
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    r = embedding_stats(df, expected_dim=2, norm_probs=(0.5,)).collect()[0]
+    assert (r.n_rows, r.n_null, r.n_wrong_dim, r.n_nonfinite, r.n_zero) == (7, 1, 1, 2, 1)
+    # clean norms: {5, 1, 0} -> median 1.0 (zero vector IS clean, just zero)
+    assert r.norm_q0_5 == 1.0
