@@ -1219,6 +1219,23 @@ def q_dispatch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random projection (pipeline/similarity.py
+    random_projection): 64-d embeddings → 8-d coordinates against the
+    md5-portable hyperplane family — DuckDB rebuilds the identical
+    planes and list_dot_product reproduces the sequential double fold
+    bit-for-bit (the established portability fact)."""
+    from medea_spark.pipeline import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    return emb.select(
+        "vec_id",
+        random_projection(F.col("embedding"), dim=64, out_dim=8, seed=7).alias("proj"),
+    ).orderBy("vec_id")
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column quality report (pipeline/similarity.py
     embedding_stats): every encoder failure mode is injected
@@ -1663,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispatch_validate": q_dispatch_validate,
         "dispatch_census": q_dispatch_census,
         "embedding_stats": q_embedding_stats,
+        "random_projection": q_random_projection,
         "decontam_docs": q_decontam_docs,
         "repetition_profile": q_repetition_profile,
         "tfidf_terms": q_tfidf_terms,
@@ -2422,6 +2440,17 @@ def oracle_sql() -> dict[str, str]:
                                     then 'NOT_ONE_OF_OPTIONS' end)
                     else 'NO_SCHEMA_FOR_KEY' end as first_violation
         from judged order by event_id
+        """,
+        "random_projection": f"""
+        with {_planes_cte(7, 8)}
+        , proj as (
+          select e.vec_id, p.j,
+                 list_dot_product(cast(e.embedding as double[]), p.plane) as dot
+          from embeddings e cross join planes p
+          where e.vec_id < 100
+        )
+        select vec_id, list(dot order by j) as proj
+        from proj group by vec_id order by vec_id
         """,
         "embedding_stats": """
         with broken as (

@@ -342,3 +342,47 @@ def embedding_stats(
             for p in norm_probs
         ],
     )
+
+
+def random_projection(
+    vec_col: Column, dim: int, out_dim: int = 16, seed: int = 7
+) -> Column:
+    """Deterministic random projection to ``out_dim`` dimensions:
+    ``array<double>`` of dot products against md5-derived hyperplanes
+    (the same portable family as :func:`lsh_bucket`, different default
+    seed) — Johnson-Lindenstrauss-style reduction for cheap
+    pre-filtering, coarse clustering, or 2-D visualization coordinates,
+    reproducible in any engine with md5.
+
+    All columnar (literal plane arrays + sequential folds, no Python);
+    the dim guard follows the repo's 0-or-raise convention — ADDED to
+    each branch-free component, never wrapping the expression tree
+    (the lsh_bucket codegen-compile lesson)."""
+    v = vec_col.cast("array<double>")
+    guard = (
+        F.when(
+            v.isNull(),
+            F.raise_error(
+                F.lit("random_projection: NULL vector (filter or impute first)")
+            ).cast("double"),
+        )
+        .when(F.size(v) == dim, F.lit(0.0))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"random_projection: dim={dim} but vector has length "),
+                    F.size(v).cast("string"),
+                )
+            ).cast("double")
+        )
+    )
+    comps = []
+    for j in range(out_dim):
+        plane = F.array(*[F.lit(plane_component(seed, j, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(dot + guard)
+    return F.array(*comps)

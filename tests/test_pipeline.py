@@ -1640,3 +1640,35 @@ def test_embedding_stats_failure_classes(spark):
     assert (r.n_rows, r.n_null, r.n_wrong_dim, r.n_nonfinite, r.n_zero) == (7, 1, 1, 2, 1)
     # clean norms: {5, 1, 0} -> median 1.0 (zero vector IS clean, just zero)
     assert r.norm_q0_5 == 1.0
+
+
+def test_random_projection_deterministic_and_guarded(spark):
+    """Components equal the hand-computed plane dots; identical input
+    gives identical output; NULL/wrong-dim vectors raise (the 0-or-raise
+    guard convention), never silently degrade."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from medea_spark.pipeline import random_projection
+    from medea_spark.pipeline.similarity import plane_component
+
+    vec = [1.0, -2.0, 0.5]
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    out = df.select(
+        random_projection(F.col("embedding"), dim=3, out_dim=4, seed=7).alias("p")
+    ).collect()[0].p
+    for j in range(4):
+        want = sum(v * plane_component(7, j, d) for d, v in enumerate(vec))
+        assert abs(out[j] - want) < 1e-12
+    again = df.select(
+        random_projection(F.col("embedding"), dim=3, out_dim=4, seed=7).alias("p")
+    ).collect()[0].p
+    assert out == again
+
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with pytest.raises(SparkRuntimeException, match="length"):
+        bad.select(random_projection(F.col("embedding"), dim=3).alias("p")).collect()
+    nul = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(SparkRuntimeException, match="NULL vector"):
+        nul.select(random_projection(F.col("embedding"), dim=3).alias("p")).collect()
