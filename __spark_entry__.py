@@ -818,6 +818,28 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+def q_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-side composition: the LSH-bucketed cosine near-dup
+    pairs (embed_near_dups' exact shape) feed connected-components
+    clustering — keep one vector per near-duplicate family.  DuckDB
+    rebuilds the pairs AND replays the clustering with a recursive
+    CTE."""
+    from medea_spark.pipeline import duplicate_clusters
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    )
+    copies = vecs.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    pairs = cosine_near_dup_pairs(
+        vecs.unionByName(copies), threshold=0.999, n_planes=8, dim=64
+    )
+    return duplicate_clusters(pairs, "vec_a", "vec_b").orderBy("doc_id")
+
+
 def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media table derived from documents.parquet: blob = utf-8 bytes of
     the text (so DuckDB can recompute sha256/length itself), metadata
@@ -1668,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_plan": q_frame_plan,
         "media_resize": q_media_resize,
         "embed_near_dups": q_embed_near_dups,
+        "embed_dup_clusters": q_embed_dup_clusters,
         "annotate_sample": q_annotate_sample,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -2120,6 +2143,41 @@ def oracle_sql() -> dict[str, str]:
         )
         select vec_a, vec_b, sim from pairs where sim >= 0.999
         order by vec_a, vec_b
+        """,
+        "embed_dup_clusters": f"""
+        with recursive {_planes_cte(seed=42, n_planes=8)}, allv as (
+            select vec_id, embedding::DOUBLE[] as v
+            from embeddings where vec_id < 150
+            union all
+            select vec_id + 10000 as vec_id,
+                   list_transform(embedding::DOUBLE[], x -> x * 2.0) as v
+            from embeddings where vec_id < 5
+        ), sig as (
+            select vec_id, v,
+                   sum(case when list_dot_product(v, plane) > 0
+                            then (cast(1 as bigint) << j) else 0 end) as bucket
+            from allv cross join planes
+            group by vec_id, v
+        ), e as (
+            select a.vec_id as u, b.vec_id as w
+            from sig a join sig b using (bucket)
+            where a.vec_id < b.vec_id
+              and list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.999
+        ), sym as (
+            select u, w from e union select w as u, u as w from e
+        ), nodes as (
+            select distinct u as node from sym
+        ), reach(node, label) as (
+            select node, node from nodes
+            union
+            select s.w, r.label from reach r join sym s on s.u = r.node
+        )
+        select node as doc_id,
+               min(label) as cluster_id,
+               (node = min(label)) as is_keeper
+        from reach group by node order by doc_id
         """,
         "lsh_ann_topk": f"""
         with {_planes_cte(seed=42, n_planes=4)}, sig as (
