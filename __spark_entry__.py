@@ -347,6 +347,40 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relationship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-cardinality contract (checks/relationships.py):
+    orders→customer declared many-to-one; every 97th customer row is
+    deliberately duplicated, and exactly those keys must surface as
+    duplicate_right violations (a duplicated dimension key silently
+    fans out every fact row it joins — no engine error, corrupted
+    aggregates)."""
+    from medea_spark.checks import relationship_violations
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dup = customer.filter(F.col("c_custkey") % 97 == 0)
+    return relationship_violations(
+        orders,
+        customer.unionByName(dup),
+        left_key="o_custkey",
+        right_key="c_custkey",
+        expected="many_to_one",
+    ).orderBy("key")
+
+
+def q_k_anon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen (checks/relationships.py): (user_id,
+    event_type) combinations shared by fewer than 8 events are
+    re-identifiable in released data; one hash-aggregate surfaces
+    them."""
+    from medea_spark.checks import k_anonymity_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return k_anonymity_report(ev, ["user_id", "event_type"], k=8).orderBy(
+        "user_id", "event_type"
+    )
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the same two document
     snapshots as drift_chi2 (checks/drift.py psi_statistic): the
@@ -1671,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_lang_size": q_hist_lang_size,
         "drift_chi2": q_drift_chi2,
         "drift_psi": q_drift_psi,
+        "relationship_orders": q_relationship_orders,
+        "k_anon_events": q_k_anon_events,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
@@ -1935,6 +1971,33 @@ def oracle_sql() -> dict[str, str]:
         select round(sum((p - q) * ln(p / q)), 6) as psi,
                cast(count(*) as bigint) as n_cells
         from cells
+        """,
+        "relationship_orders": """
+        with cust2 as (
+            select c_custkey from customer
+            union all
+            select c_custkey from customer where c_custkey % 97 = 0
+        ), lc as (
+            select o_custkey as key, cast(count(*) as bigint) as left_count
+            from orders where o_custkey is not null group by 1
+        ), rc as (
+            select c_custkey as key, cast(count(*) as bigint) as right_count
+            from cust2 where c_custkey is not null group by 1
+        )
+        select coalesce(lc.key, rc.key) as key,
+               coalesce(left_count, 0) as left_count,
+               coalesce(right_count, 0) as right_count,
+               'duplicate_right' as violation
+        from lc full outer join rc on lc.key = rc.key
+        where coalesce(right_count, 0) > 1
+        order by key
+        """,
+        "k_anon_events": """
+        select user_id, event_type, cast(count(*) as bigint) as group_size
+        from events
+        group by user_id, event_type
+        having count(*) < 8
+        order by user_id, event_type
         """,
         "topk_langs": """
         select lang, count(*) as cnt from documents

@@ -20,6 +20,7 @@ from medea_spark.checks.suite import (
     unique,
     unique_sampled,
 )
+from medea_spark.checks.relationships import k_anonymity_report, relationship_violations
 from medea_spark.checks.uniqueness import duplicate_keys, uniqueness_report
 
 __all__ = [
@@ -45,4 +46,6 @@ __all__ = [
     "referential_report",
     "top_k",
     "uniqueness_report",
+    "k_anonymity_report",
+    "relationship_violations",
 ]

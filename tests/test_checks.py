@@ -299,3 +299,52 @@ def test_unique_sampled_matches_manual_estimator(spark):
     est = len(sampled) * (1 << shift)
     want = max(0, 4003 - est)
     assert got["unique_sampled:name"] == (want, True)
+
+
+def test_relationship_violations_cardinalities(spark):
+    """many_to_one flags only duplicated right keys; one_to_one flags
+    both sides with the right labels; NULL keys are ignored."""
+    import pytest
+
+    from medea_spark.checks import relationship_violations
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")], ["k", "x"]
+    )
+    right = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (2, "r2b"), (None, "rn")], ["k", "y"]
+    )
+    m2o = {
+        r.key: (r.left_count, r.right_count, r.violation)
+        for r in relationship_violations(left, right, "k").collect()
+    }
+    assert m2o == {2: (1, 2, "duplicate_right")}
+    o2o = {
+        r.key: r.violation
+        for r in relationship_violations(left, right, "k", expected="one_to_one").collect()
+    }
+    assert o2o == {1: "duplicate_left", 2: "duplicate_right"}
+    with pytest.raises(ValueError, match="expected"):
+        relationship_violations(left, right, "k", expected="many_to_many")
+
+
+def test_k_anonymity_report(spark):
+    """Groups below k surface with their sizes; NULL combos count as
+    groups; a k-anonymous table yields an empty report."""
+    import pytest
+
+    from medea_spark.checks import k_anonymity_report
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [(None, 2)] * 1
+    df = spark.createDataFrame(rows, ["q1", "q2"])
+    got = {
+        (r.q1, r.q2): r.group_size
+        for r in k_anonymity_report(df, ["q1", "q2"], k=5).collect()
+    }
+    assert got == {("b", 1): 2, (None, 2): 1}
+    assert k_anonymity_report(df, ["q1", "q2"], k=2).count() == 1  # only the NULL singleton
+    assert k_anonymity_report(df.filter("q1 = 'a'"), ["q1"], k=5).count() == 0
+    with pytest.raises(ValueError, match="at least one"):
+        k_anonymity_report(df, [], k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_report(df, ["q1"], k=1)
