@@ -1460,6 +1460,19 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 normalized terms by occurrence
+    (checks/stats.py top_k over the exploded token relation,
+    deterministic tie-break) — the quick Zipf-head sanity read on any
+    text corpus, and the seed list for stopword curation."""
+    from medea_spark.checks import top_k
+    from medea_spark.pipeline.decontaminate import _norm_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(F.explode(_norm_tokens(F.col("text"))).alias("term"))
+    return top_k(terms, ["term"], 20)
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (textstats.tfidf_top_terms): top-3
     characteristic terms per document over the first 200 docs, smoothed
@@ -1743,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": q_decontam_docs,
         "repetition_profile": q_repetition_profile,
         "tfidf_terms": q_tfidf_terms,
+        "vocab_topk": q_vocab_topk,
         "pii_scrub": q_pii_scrub,
         "chunk_docs": q_chunk_docs,
         "unicode_nfc": q_unicode_nfc,
@@ -2731,6 +2745,19 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[i * 18 + 1 : i * 18 + 24], ' ') as chunk_text
         from meta, unnest(generate_series(0, n_chunks - 1)) as t(i)
         order by doc_id, chunk_id
+        """,
+        "vocab_topk": r"""
+        with toks as (
+          select unnest(
+            case when trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                 then []::varchar[]
+                 else string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+            end) as term
+          from documents
+        )
+        select term, cast(count(*) as bigint) as cnt
+        from toks group by term
+        order by cnt desc, term asc limit 20
         """,
         "tfidf_terms": r"""
         with subset as (
