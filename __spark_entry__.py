@@ -347,6 +347,18 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (checks/drift.py benford_report) on
+    lineitem extended prices: observed-vs-expected per digit with the
+    chi-square terms.  The leading digit comes from IEEE
+    floor/log10/pow arithmetic — never float-to-string formatting,
+    which differs across engines; DuckDB recomputes identically."""
+    from medea_spark.checks import benford_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_report(li, "l_extendedprice")
+
+
 def q_relationship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-cardinality contract (checks/relationships.py):
     orders→customer declared many-to-one; every 97th customer row is
@@ -1719,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": q_drift_chi2,
         "drift_psi": q_drift_psi,
         "relationship_orders": q_relationship_orders,
+        "benford_prices": q_benford_prices,
         "k_anon_events": q_k_anon_events,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
@@ -1985,6 +1998,29 @@ def oracle_sql() -> dict[str, str]:
         select round(sum((p - q) * ln(p / q)), 6) as psi,
                cast(count(*) as bigint) as n_cells
         from cells
+        """,
+        "benford_prices": """
+        with counts as (
+          select cast(floor(l_extendedprice / pow(10.0, floor(log10(l_extendedprice)))) as int) as digit,
+                 cast(count(*) as bigint) as observed
+          from lineitem
+          where l_extendedprice is not null and l_extendedprice > 0
+          group by 1
+        ), digits as (
+          select d as digit, log10(1.0 + 1.0 / d) as p
+          from generate_series(1, 9) t(d)
+        ), total as (
+          select cast(sum(observed) as bigint) as n from counts
+        )
+        select dg.digit,
+               coalesce(c.observed, 0) as observed,
+               round(dg.p * t.n, 6) as expected,
+               round(pow(coalesce(c.observed, 0) - dg.p * t.n, 2) / (dg.p * t.n), 6)
+                 as chi2_term
+        from digits dg
+        left join counts c using (digit)
+        cross join total t
+        order by digit
         """,
         "relationship_orders": """
         with cust2 as (

@@ -1,6 +1,8 @@
 """Table-level data-quality checks (SURVEY.md §2.C C8-C14)."""
 
 from medea_spark.checks.drift import (
+    BENFORD_P,
+    benford_report,
     chi_square_p_value,
     chi_square_statistic,
     drift_decision,
@@ -26,6 +28,8 @@ from medea_spark.checks.uniqueness import duplicate_keys, uniqueness_report
 __all__ = [
     "Rule",
     "accepted_values",
+    "BENFORD_P",
+    "benford_report",
     "chi_square_p_value",
     "chi_square_statistic",
     "column_quantiles",

@@ -175,3 +175,46 @@ def psi_statistic(
         ).alias("psi"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
     )
+
+
+#: Benford's law first-digit probabilities, log10(1 + 1/d)
+BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_report(df: DataFrame, col: str) -> DataFrame:
+    """First-digit distribution of a positive numeric column against
+    Benford's law: (digit, observed, expected, chi2_term) for digits
+    1-9 — the classic fabricated-figures / unit-mixing screen for
+    financial columns.  The leading digit comes from pure IEEE math
+    (``floor(x / 10^floor(log10(x)))``), never from string formatting
+    (engine float-to-string rules differ); non-positive and NULL
+    values are excluded.  One hash aggregate; absent digits appear
+    with observed=0 so the chi-square terms are complete."""
+    x = F.col(col)
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = (
+        df.filter(x.isNotNull() & (x > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    spark = df.sparkSession
+    digits = spark.createDataFrame(
+        [(d, BENFORD_P[d]) for d in range(1, 10)], ["digit", "p"]
+    )
+    total = counts.agg(F.sum("observed").alias("n"))
+    return (
+        digits.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).alias("observed"),
+            F.round(F.col("p") * F.col("n"), 6).alias("expected"),
+            F.round(
+                F.pow(F.coalesce("observed", F.lit(0)) - F.col("p") * F.col("n"), 2)
+                / (F.col("p") * F.col("n")),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -348,3 +348,30 @@ def test_k_anonymity_report(spark):
         k_anonymity_report(df, [], k=5)
     with pytest.raises(ValueError, match="k must be"):
         k_anonymity_report(df, ["q1"], k=1)
+
+
+def test_benford_report_known_distribution(spark):
+    """A perfectly Benford-weighted sample yields near-zero chi2 terms;
+    a uniform-digit sample deviates; zero/negative/NULL excluded."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from medea_spark.checks import BENFORD_P, benford_report
+
+    rows = []
+    for d in range(1, 10):
+        rows += [(float(d) * 10 ** (i % 3),) for i in range(round(BENFORD_P[d] * 1000))]
+    rows += [(0.0,), (-5.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    rep = {r.digit: r for r in benford_report(df, "x").collect()}
+    assert set(rep) == set(range(1, 10))
+    n = sum(r.observed for r in rep.values())
+    assert n == sum(round(BENFORD_P[d] * 1000) for d in range(1, 10))
+    # observed ≈ expected everywhere (rounding of the 1000-sample split)
+    assert all(abs(r.observed - r.expected) < 1.0 for r in rep.values())
+    assert sum(r.chi2_term for r in rep.values()) < 0.1
+
+    uni = spark.createDataFrame([(float(d),) for d in range(1, 10) for _ in range(100)], "x double")
+    bad = benford_report(uni, "x").agg(F.sum("chi2_term")).collect()[0][0]
+    assert bad > 50  # uniform digits are wildly non-Benford
