@@ -393,6 +393,36 @@ def q_k_anon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency contract (checks/relationships.py
+    fd_violations): assert l_partkey → l_suppkey on lineitem — "each
+    part ships from one supplier".  TPC-H sources every part from ~4
+    suppliers, so the violating keys (most parts) surface with their
+    variant counts and min/max supplier examples; one map-side-combined
+    hash aggregate, NULL-skip count-distinct semantics identical in
+    DuckDB."""
+    from medea_spark.checks import fd_violations
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return fd_violations(li, "l_partkey", "l_suppkey").orderBy("l_partkey")
+
+
+def q_mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen (checks/outliers.py mad_outliers) on
+    lineitem price and quantity: modified z-score (|x - median| >
+    3.5 · 1.4826 · MAD), three single-row aggregate passes chained by
+    broadcast cross joins.  Exact-percentile path here so DuckDB's
+    quantile_cont replays the medians/MADs bit-identically (the
+    approx GK-sketch path is the 100 TB default and unit-tested
+    against this one)."""
+    from medea_spark.checks import mad_outliers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return mad_outliers(
+        li, ["l_extendedprice", "l_quantity"], threshold=3.5, approx=False
+    ).orderBy("col_name")
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the same two document
     snapshots as drift_chi2 (checks/drift.py psi_statistic): the
@@ -1733,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relationship_orders": q_relationship_orders,
         "benford_prices": q_benford_prices,
         "k_anon_events": q_k_anon_events,
+        "fd_part_supplier": q_fd_part_supplier,
+        "mad_outliers_lineitem": q_mad_outliers_lineitem,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
@@ -2048,6 +2080,51 @@ def oracle_sql() -> dict[str, str]:
         group by user_id, event_type
         having count(*) < 8
         order by user_id, event_type
+        """,
+        "fd_part_supplier": """
+        select l_partkey,
+               cast(count(*) as bigint) as n_rows,
+               cast(count(distinct l_suppkey) as bigint) as n_variants,
+               min(l_suppkey) as variant_min,
+               max(l_suppkey) as variant_max
+        from lineitem
+        group by l_partkey
+        having count(distinct l_suppkey) > 1
+        order by l_partkey
+        """,
+        "mad_outliers_lineitem": """
+        with med as (
+            select quantile_cont(l_extendedprice, 0.5) as m_p,
+                   quantile_cont(l_quantity, 0.5) as m_q
+            from lineitem
+        ), mad as (
+            select m_p, m_q,
+                   quantile_cont(abs(l_extendedprice - m_p), 0.5) as d_p,
+                   quantile_cont(abs(l_quantity - m_q), 0.5) as d_q
+            from lineitem, med
+            group by m_p, m_q
+        ), stats as (
+            select cast(count(l_extendedprice) as bigint) as n_p,
+                   cast(sum(case when abs(l_extendedprice - m_p)
+                                      > 3.5 * 1.4826 * d_p then 1 else 0 end)
+                        as bigint) as o_p,
+                   cast(count(l_quantity) as bigint) as n_q,
+                   cast(sum(case when abs(l_quantity - m_q)
+                                      > 3.5 * 1.4826 * d_q then 1 else 0 end)
+                        as bigint) as o_q,
+                   min(m_p) as m_p, min(d_p) as d_p,
+                   min(m_q) as m_q, min(d_q) as d_q
+            from lineitem, mad
+        )
+        select 'l_extendedprice' as col_name, n_p as n_values, m_p as median,
+               d_p as mad, o_p as n_outliers,
+               round(cast(o_p as double) / greatest(n_p, 1), 6) as outlier_rate
+        from stats
+        union all
+        select 'l_quantity', n_q, m_q, d_q, o_q,
+               round(cast(o_q as double) / greatest(n_q, 1), 6)
+        from stats
+        order by col_name
         """,
         "topk_langs": """
         select lang, count(*) as cnt from documents

@@ -22,7 +22,12 @@ from medea_spark.checks.suite import (
     unique,
     unique_sampled,
 )
-from medea_spark.checks.relationships import k_anonymity_report, relationship_violations
+from medea_spark.checks.outliers import MAD_SCALE, mad_outliers
+from medea_spark.checks.relationships import (
+    fd_violations,
+    k_anonymity_report,
+    relationship_violations,
+)
 from medea_spark.checks.uniqueness import duplicate_keys, uniqueness_report
 
 __all__ = [
@@ -50,6 +55,9 @@ __all__ = [
     "referential_report",
     "top_k",
     "uniqueness_report",
+    "fd_violations",
     "k_anonymity_report",
+    "MAD_SCALE",
+    "mad_outliers",
     "relationship_violations",
 ]

@@ -1,6 +1,6 @@
 """Relationship-cardinality and group-privacy checks.
 
-Two table-contract validators that referential integrity (broadcast
+Table-contract validators that referential integrity (broadcast
 anti-join orphans, checks/referential.py) does not cover:
 
 * :func:`relationship_violations` — the declared CARDINALITY of a join
@@ -8,6 +8,9 @@ anti-join orphans, checks/referential.py) does not cover:
   twice silently duplicates every fact row it joins, which corrupts
   downstream aggregates without any error.  The dbt-style test, as a
   relation of offending keys.
+* :func:`fd_violations` — a declared functional dependency (column
+  consistency: ``X → Y``) holds within one table; violating keys are
+  returned with their variant counts and min/max examples.
 * :func:`k_anonymity_report` — quasi-identifier groups smaller than
   ``k``: rows whose (column combination) is shared by fewer than k
   rows are re-identifiable in released data.  The standard
@@ -72,6 +75,40 @@ def relationship_violations(
             .otherwise(F.lit("duplicate_right")),
         )
     return out
+
+
+def fd_violations(
+    df: DataFrame, determinant: str | list[str], dependent: str
+) -> DataFrame:
+    """Keys breaking a declared functional dependency ``determinant →
+    dependent``: ``(*determinant, n_rows, n_variants, variant_min,
+    variant_max)`` for every determinant value observed with more than
+    one distinct dependent value.  Empty result = the dependency holds.
+
+    The dbt-style column-consistency contract (one part ships from one
+    supplier, one user lives in one country, ...): a violated FD means
+    joins keyed on the determinant silently fan out and downstream
+    "the" lookups pick an arbitrary variant.  NULL dependent values are
+    ignored (``count(distinct)`` skips NULLs identically in Spark and
+    DuckDB — the portable semantics); a NULL determinant forms its own
+    group like any other value.  One hash aggregate, map-side combined
+    — only per-key counts cross the exchange.  For a multi-column
+    dependent, pre-concat the columns into one (struct-distinct NULL
+    semantics differ across engines)."""
+    det = [determinant] if isinstance(determinant, str) else list(determinant)
+    if not det:
+        raise ValueError("fd_violations needs at least one determinant column")
+    dep = F.col(dependent)
+    return (
+        df.groupBy(*det)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(dep).alias("n_variants"),
+            F.min(dep).alias("variant_min"),
+            F.max(dep).alias("variant_max"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )
 
 
 def k_anonymity_report(

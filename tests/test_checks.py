@@ -375,3 +375,62 @@ def test_benford_report_known_distribution(spark):
     uni = spark.createDataFrame([(float(d),) for d in range(1, 10) for _ in range(100)], "x double")
     bad = benford_report(uni, "x").agg(F.sum("chi2_term")).collect()[0][0]
     assert bad > 50  # uniform digits are wildly non-Benford
+
+
+def test_fd_violations(spark):
+    """Violating determinants surface with variant counts and min/max
+    examples; NULL dependents are skipped; a held dependency yields an
+    empty result; NULL determinants group like values."""
+    import pytest
+
+    from medea_spark.checks import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            (1, "a"), (1, "a"), (1, "b"),          # violated: 2 variants
+            (2, "c"), (2, None),                   # held: NULL dep skipped
+            (3, "d"),                              # held
+            (None, "x"), (None, "y"),              # NULL determinant, violated
+        ],
+        ["k", "v"],
+    )
+    got = {
+        r.k: (r.n_rows, r.n_variants, r.variant_min, r.variant_max)
+        for r in fd_violations(df, "k", "v").collect()
+    }
+    assert got == {1: (3, 2, "a", "b"), None: (2, 2, "x", "y")}
+    held = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert fd_violations(held, "k", "v").count() == 0
+    with pytest.raises(ValueError, match="determinant"):
+        fd_violations(df, [], "v")
+
+
+def test_mad_outliers(spark):
+    """Planted extremes are flagged, inliers are not; MAD=0 flags any
+    deviation from the median; approx path agrees with exact on
+    well-separated data; NULLs excluded from counts."""
+    import pytest
+
+    from medea_spark.checks import mad_outliers
+
+    # 99 values near 10 plus one extreme, and a NULL
+    rows = [(float(10 + (i % 5)), ) for i in range(99)] + [(1e6,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    exact = mad_outliers(df, ["x"], approx=False).collect()[0]
+    assert exact.col_name == "x"
+    assert exact.n_values == 100
+    assert exact.n_outliers == 1
+    assert exact.outlier_rate == 0.01
+    assert 10.0 <= exact.median <= 14.0 and exact.mad > 0
+    approx = mad_outliers(df, ["x"], approx=True).collect()[0]
+    assert approx.n_outliers == 1
+
+    # constant-majority column: MAD = 0, every non-median value flagged
+    const = spark.createDataFrame(
+        [(5.0,)] * 10 + [(5.1,), (4.9,)], "x double"
+    )
+    row = mad_outliers(const, ["x"], approx=False).collect()[0]
+    assert row.mad == 0.0 and row.n_outliers == 2
+
+    with pytest.raises(ValueError, match="at least one column"):
+        mad_outliers(df, [])
