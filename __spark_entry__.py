@@ -393,6 +393,23 @@ def q_k_anon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift (checks/drift.py
+    ks_statistic) on the events value column, odd vs even users: the
+    continuous-column drift test the chi-square/PSI histograms can't
+    do without arbitrary binning.  Hash-agg to distinct values per
+    side, full-outer join, one ordered window over distinct values
+    for both ECDFs; DuckDB replays the identical cumulative sums."""
+    from medea_spark.checks import ks_statistic
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ks_statistic(
+        ev.filter(F.col("user_id") % 2 == 1),
+        ev.filter(F.col("user_id") % 2 == 0),
+        "value",
+    )
+
+
 def q_fd_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency contract (checks/relationships.py
     fd_violations): assert l_partkey → l_suppkey on lineitem — "each
@@ -1765,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anon_events": q_k_anon_events,
         "fd_part_supplier": q_fd_part_supplier,
         "mad_outliers_lineitem": q_mad_outliers_lineitem,
+        "drift_ks": q_drift_ks,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
@@ -2080,6 +2098,37 @@ def oracle_sql() -> dict[str, str]:
         group by user_id, event_type
         having count(*) < 8
         order by user_id, event_type
+        """,
+        "drift_ks": """
+        with a as (
+            select cast(value as double) as x, cast(count(*) as bigint) as ca
+            from events where user_id % 2 = 1 and value is not null
+            group by 1
+        ), b as (
+            select cast(value as double) as x, cast(count(*) as bigint) as cb
+            from events where user_id % 2 = 0 and value is not null
+            group by 1
+        ), j as (
+            select coalesce(a.x, b.x) as x,
+                   coalesce(ca, 0) as ca, coalesce(cb, 0) as cb
+            from a full outer join b on a.x = b.x
+        ), t as (
+            select cast(sum(ca) as bigint) as n_a,
+                   cast(sum(cb) as bigint) as n_b
+            from j
+        ), e as (
+            select sum(ca) over (order by x rows between unbounded preceding
+                                 and current row) / n_a as fa,
+                   sum(cb) over (order by x rows between unbounded preceding
+                                 and current row) / n_b as fb,
+                   n_a, n_b
+            from j, t
+        )
+        select round(max(abs(fa - fb)), 6) as ks_stat,
+               cast(min(n_a) as bigint) as n_current,
+               cast(min(n_b) as bigint) as n_baseline,
+               cast(count(*) as bigint) as n_values
+        from e
         """,
         "fd_part_supplier": """
         select l_partkey,

@@ -6,6 +6,7 @@ from medea_spark.checks.drift import (
     chi_square_p_value,
     chi_square_statistic,
     drift_decision,
+    ks_statistic,
     lang_size_histogram,
     psi_statistic,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "diff_tables",
     "drift_decision",
     "duplicate_keys",
+    "ks_statistic",
     "lang_size_histogram",
     "psi_statistic",
     "orphan_rows",

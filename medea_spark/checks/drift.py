@@ -177,6 +177,92 @@ def psi_statistic(
     )
 
 
+def ks_statistic(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    bins: int | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One-row two-sample Kolmogorov-Smirnov distance for a NUMERIC
+    column: ``(ks_stat, n_current, n_baseline, n_values)`` where
+    ``ks_stat = max |F_cur(x) - F_base(x)|`` over the observed value
+    universe — the drift test for continuous columns where chi-square
+    / PSI would need an arbitrary binning.  NULLs are excluded.
+
+    Plan shape: one hash aggregate per side collapses rows to
+    (distinct value, count) — map-side combined, so row volume never
+    reaches the ordering step — then a full-outer join and ONE
+    ordered window over the merged distinct values computes both
+    ECDFs cumulatively.  The window is unpartitioned (a single task),
+    but it runs over DISTINCT values, not rows: fine whenever the
+    column's cardinality is task-sized (measurements, sizes, scores).
+    For genuinely high-cardinality columns at 100 TB pass ``bins`` —
+    values are first quantized to ``bins`` equi-probable buckets of
+    the CURRENT side (GK ``percentile_approx`` edges, broadcast), an
+    approximation of the statistic with error ≤ 1/bins that keeps the
+    window input constant-size.  The exact (unbinned) path is what
+    the DuckDB oracle replays — identical cumulative sums, IEEE
+    division, round(6)."""
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("double").alias("x"))
+            .filter(F.col("x").isNotNull())
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    cur, base = current, baseline
+    if bins is not None:
+        if bins < 2:
+            raise ValueError("bins must be >= 2")
+        probs = [i / bins for i in range(1, bins)]
+        edges = current.select(F.col(col).cast("double").alias("x")).agg(
+            F.expr(
+                f"percentile_approx(x, array({', '.join(map(repr, probs))}), {accuracy})"
+            ).alias("edges")
+        )
+        # quantize: x -> number of edges <= x (0..bins-1), a codegen
+        # aggregate over the broadcast edge array — no join blowup
+        def quantize(df: DataFrame) -> DataFrame:
+            return (
+                df.select(F.col(col).cast("double").alias("raw"))
+                .filter(F.col("raw").isNotNull())
+                .crossJoin(F.broadcast(edges))
+                .select(
+                    F.aggregate(
+                        "edges",
+                        F.lit(0),
+                        lambda acc, e: acc + F.when(e <= F.col("raw"), 1).otherwise(0),
+                    ).cast("double").alias(col)
+                )
+            )
+
+        cur, base = quantize(current), quantize(baseline)
+    a, b = side(cur, "ca"), side(base, "cb")
+    j = a.join(b, "x", "full_outer").select(
+        "x",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    totals = j.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = j.crossJoin(F.broadcast(totals)).select(
+        (F.sum("ca").over(w) / F.col("n_a")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("n_b")).alias("fb"),
+        "n_a",
+        "n_b",
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
+        F.first("n_a").alias("n_current"),
+        F.first("n_b").alias("n_baseline"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+
+
 #: Benford's law first-digit probabilities, log10(1 + 1/d)
 BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
 

@@ -434,3 +434,42 @@ def test_mad_outliers(spark):
 
     with pytest.raises(ValueError, match="at least one column"):
         mad_outliers(df, [])
+
+
+def test_ks_statistic(spark):
+    """KS distance: identical samples give 0; disjoint samples give 1;
+    a known hand-computed case matches; NULLs excluded; the binned
+    path approximates the exact statistic within 1/bins."""
+    import pytest
+
+    from medea_spark.checks import ks_statistic
+
+    same = spark.createDataFrame([(float(i % 7),) for i in range(70)], "x double")
+    row = ks_statistic(same, same, "x").collect()[0]
+    assert row.ks_stat == 0.0
+    assert row.n_current == 70 and row.n_baseline == 70 and row.n_values == 7
+
+    lo = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    hi = spark.createDataFrame([(float(i + 100),) for i in range(10)], "x double")
+    assert ks_statistic(lo, hi, "x").collect()[0].ks_stat == 1.0
+
+    # hand case: A={1,2,3,4}, B={3,4,5,6} -> max gap at x=2: |2/4 - 0| = 0.5
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    b = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "x double")
+    assert ks_statistic(a, b, "x").collect()[0].ks_stat == 0.5
+
+    # NULLs excluded from both counts
+    withnull = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    row = ks_statistic(withnull, withnull, "x").collect()[0]
+    assert row.n_current == 2 and row.ks_stat == 0.0
+
+    # binned path: shifted uniform, exact stat 0.25; 8 bins keeps it close
+    cur = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    base = spark.createDataFrame([(float(i + 25),) for i in range(100)], "x double")
+    exact = ks_statistic(cur, base, "x").collect()[0].ks_stat
+    binned = ks_statistic(cur, base, "x", bins=8).collect()[0]
+    assert abs(binned.ks_stat - exact) <= 1 / 8 + 1e-9
+    assert binned.n_values <= 8
+
+    with pytest.raises(ValueError, match="bins"):
+        ks_statistic(cur, base, "x", bins=1)
