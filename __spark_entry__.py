@@ -410,6 +410,22 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein drift distance (checks/drift.py
+    wasserstein_distance) on the events value column, odd vs even
+    users — the magnitude-aware companion to drift_ks: same
+    distinct-value ECDF window plus a lead() gap, distance =
+    sum(|fa-fb| * gap) in the column's own units."""
+    from medea_spark.checks import wasserstein_distance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return wasserstein_distance(
+        ev.filter(F.col("user_id") % 2 == 1),
+        ev.filter(F.col("user_id") % 2 == 0),
+        "value",
+    )
+
+
 def q_fd_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency contract (checks/relationships.py
     fd_violations): assert l_partkey → l_suppkey on lineitem — "each
@@ -1783,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_part_supplier": q_fd_part_supplier,
         "mad_outliers_lineitem": q_mad_outliers_lineitem,
         "drift_ks": q_drift_ks,
+        "drift_wasserstein": q_drift_wasserstein,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
@@ -2125,6 +2142,38 @@ def oracle_sql() -> dict[str, str]:
             from j, t
         )
         select round(max(abs(fa - fb)), 6) as ks_stat,
+               cast(min(n_a) as bigint) as n_current,
+               cast(min(n_b) as bigint) as n_baseline,
+               cast(count(*) as bigint) as n_values
+        from e
+        """,
+        "drift_wasserstein": """
+        with a as (
+            select cast(value as double) as x, cast(count(*) as bigint) as ca
+            from events where user_id % 2 = 1 and value is not null
+            group by 1
+        ), b as (
+            select cast(value as double) as x, cast(count(*) as bigint) as cb
+            from events where user_id % 2 = 0 and value is not null
+            group by 1
+        ), j as (
+            select coalesce(a.x, b.x) as x,
+                   coalesce(ca, 0) as ca, coalesce(cb, 0) as cb
+            from a full outer join b on a.x = b.x
+        ), t as (
+            select cast(sum(ca) as bigint) as n_a,
+                   cast(sum(cb) as bigint) as n_b
+            from j
+        ), e as (
+            select sum(ca) over (order by x rows between unbounded preceding
+                                 and current row) / n_a as fa,
+                   sum(cb) over (order by x rows between unbounded preceding
+                                 and current row) / n_b as fb,
+                   lead(x) over (order by x) - x as gap,
+                   n_a, n_b
+            from j, t
+        )
+        select round(sum(abs(fa - fb) * coalesce(gap, 0)), 6) as w1_distance,
                cast(min(n_a) as bigint) as n_current,
                cast(min(n_b) as bigint) as n_baseline,
                cast(count(*) as bigint) as n_values

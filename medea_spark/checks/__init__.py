@@ -9,6 +9,7 @@ from medea_spark.checks.drift import (
     ks_statistic,
     lang_size_histogram,
     psi_statistic,
+    wasserstein_distance,
 )
 from medea_spark.checks.referential import orphan_rows, referential_report
 from medea_spark.checks.stats import column_quantiles, column_stats, diff_tables, top_k
@@ -53,6 +54,7 @@ __all__ = [
     "ks_statistic",
     "lang_size_histogram",
     "psi_statistic",
+    "wasserstein_distance",
     "orphan_rows",
     "referential_report",
     "top_k",

@@ -473,3 +473,42 @@ def test_ks_statistic(spark):
 
     with pytest.raises(ValueError, match="bins"):
         ks_statistic(cur, base, "x", bins=1)
+
+
+def test_wasserstein_distance(spark):
+    """W1 distance: identical samples give 0; a constant shift of a
+    point mass gives exactly the shift; a hand-computed mixed case
+    matches; NULLs excluded; W1 ranks a big shift above a small one
+    where KS saturates at 1 for both."""
+    from medea_spark.checks import ks_statistic, wasserstein_distance
+
+    same = spark.createDataFrame([(float(i % 7),) for i in range(70)], "x double")
+    row = wasserstein_distance(same, same, "x").collect()[0]
+    assert row.w1_distance == 0.0
+    assert row.n_current == 70 and row.n_baseline == 70 and row.n_values == 7
+
+    # point masses at 0 vs 3: all mass moves distance 3
+    p0 = spark.createDataFrame([(0.0,)] * 5, "x double")
+    p3 = spark.createDataFrame([(3.0,)] * 5, "x double")
+    assert wasserstein_distance(p0, p3, "x").collect()[0].w1_distance == 3.0
+
+    # hand case: A={0,1}, B={0,2} uniform -> F_A-F_B = 0.5 on [1,2), W1 = 0.5
+    a = spark.createDataFrame([(0.0,), (1.0,)], "x double")
+    b = spark.createDataFrame([(0.0,), (2.0,)], "x double")
+    assert wasserstein_distance(a, b, "x").collect()[0].w1_distance == 0.5
+
+    # NULLs excluded
+    withnull = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    row = wasserstein_distance(withnull, withnull, "x").collect()[0]
+    assert row.n_current == 2 and row.w1_distance == 0.0
+
+    # magnitude awareness: disjoint shifts of 10 vs 100 both give KS=1,
+    # but W1 scales with the shift
+    base = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    near = spark.createDataFrame([(float(i + 10),) for i in range(10)], "x double")
+    far = spark.createDataFrame([(float(i + 100),) for i in range(10)], "x double")
+    assert ks_statistic(near, base, "x").collect()[0].ks_stat == 1.0
+    assert ks_statistic(far, base, "x").collect()[0].ks_stat == 1.0
+    w_near = wasserstein_distance(near, base, "x").collect()[0].w1_distance
+    w_far = wasserstein_distance(far, base, "x").collect()[0].w1_distance
+    assert w_near == 10.0 and w_far == 100.0
