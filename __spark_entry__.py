@@ -426,6 +426,19 @@ def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeline-completeness check (checks/completeness.py time_gaps):
+    minute buckets with NO event between the observed min and max —
+    the freshness/completeness contract ("at least one event per
+    minute; which minutes are silent?").  Distinct hash-agg to the
+    bucket universe, sequence-generated expected range, broadcast
+    anti-join; no shuffle touches row-scale data."""
+    from medea_spark.checks import time_gaps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_gaps(ev, "ts", granularity="minute")
+
+
 def q_fd_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency contract (checks/relationships.py
     fd_violations): assert l_partkey → l_suppkey on lineitem — "each
@@ -1800,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_lineitem": q_mad_outliers_lineitem,
         "drift_ks": q_drift_ks,
         "drift_wasserstein": q_drift_wasserstein,
+        "time_gaps_events": q_time_gaps_events,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
@@ -2178,6 +2192,21 @@ def oracle_sql() -> dict[str, str]:
                cast(min(n_b) as bigint) as n_baseline,
                cast(count(*) as bigint) as n_values
         from e
+        """,
+        "time_gaps_events": """
+        with observed as (
+            select distinct date_trunc('minute', ts) as bucket
+            from events where ts is not null
+        ), bounds as (
+            select min(bucket) as lo, max(bucket) as hi from observed
+        ), expected as (
+            select unnest(generate_series(lo, hi, interval 1 minute)) as bucket
+            from bounds
+        )
+        select e.bucket
+        from expected e
+        where not exists (select 1 from observed o where o.bucket = e.bucket)
+        order by e.bucket
         """,
         "fd_part_supplier": """
         select l_partkey,

@@ -1,5 +1,6 @@
 """Table-level data-quality checks (SURVEY.md §2.C C8-C14)."""
 
+from medea_spark.checks.completeness import time_gaps
 from medea_spark.checks.drift import (
     BENFORD_P,
     benford_report,
@@ -54,6 +55,7 @@ __all__ = [
     "ks_statistic",
     "lang_size_histogram",
     "psi_statistic",
+    "time_gaps",
     "wasserstein_distance",
     "orphan_rows",
     "referential_report",

@@ -512,3 +512,40 @@ def test_wasserstein_distance(spark):
     w_near = wasserstein_distance(near, base, "x").collect()[0].w1_distance
     w_far = wasserstein_distance(far, base, "x").collect()[0].w1_distance
     assert w_near == 10.0 and w_far == 100.0
+
+
+def test_time_gaps(spark):
+    """Missing buckets between observed min/max surface in order;
+    a complete timeline yields no rows; NULL timestamps ignored;
+    empty input yields empty output; bad granularity raises."""
+    import datetime as dt
+
+    import pytest
+
+    from medea_spark.checks import time_gaps
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    present_hours = [0, 1, 2, 5, 6, 9]  # gaps at 3, 4, 7, 8
+    rows = [(base + dt.timedelta(hours=h, minutes=17),) for h in present_hours]
+    rows.append((None,))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [r.bucket for r in time_gaps(df, "ts", "hour").collect()]
+    assert got == [base + dt.timedelta(hours=h) for h in (3, 4, 7, 8)]
+
+    complete = spark.createDataFrame(
+        [(base + dt.timedelta(hours=h),) for h in range(5)], "ts timestamp"
+    )
+    assert time_gaps(complete, "ts", "hour").count() == 0
+
+    empty = spark.createDataFrame([], "ts timestamp")
+    assert time_gaps(empty, "ts", "hour").count() == 0
+
+    # day granularity truncates within-day spread to one bucket
+    two_days = spark.createDataFrame(
+        [(base,), (base + dt.timedelta(days=3, hours=11),)], "ts timestamp"
+    )
+    got = [r.bucket for r in time_gaps(two_days, "ts", "day").collect()]
+    assert got == [base + dt.timedelta(days=1), base + dt.timedelta(days=2)]
+
+    with pytest.raises(ValueError, match="granularity"):
+        time_gaps(df, "ts", "fortnight")
