@@ -439,6 +439,19 @@ def q_time_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_gaps(ev, "ts", granularity="minute")
 
 
+def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour row-volume anomaly screen (checks/completeness.py
+    volume_anomalies): hours whose event count deviates from the
+    typical hourly volume by > 2 robust z-scores, on the zero-filled
+    timeline.  One hash agg to calendar-sized counts; median/MAD and
+    flagging all run on that tiny relation (exact percentile =
+    DuckDB quantile_cont bit-identically)."""
+    from medea_spark.checks import volume_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return volume_anomalies(ev, "ts", granularity="hour", threshold=2.0)
+
+
 def q_fd_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency contract (checks/relationships.py
     fd_violations): assert l_partkey → l_suppkey on lineitem — "each
@@ -1814,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         "drift_wasserstein": q_drift_wasserstein,
         "time_gaps_events": q_time_gaps_events,
+        "volume_anomalies_events": q_volume_anomalies,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
@@ -2207,6 +2221,41 @@ def oracle_sql() -> dict[str, str]:
         from expected e
         where not exists (select 1 from observed o where o.bucket = e.bucket)
         order by e.bucket
+        """,
+        "volume_anomalies_events": """
+        with counts as (
+            select date_trunc('hour', ts) as bucket,
+                   cast(count(*) as bigint) as cnt
+            from events where ts is not null
+            group by 1
+        ), bounds as (
+            select min(bucket) as lo, max(bucket) as hi from counts
+        ), expected as (
+            select unnest(generate_series(lo, hi, interval 1 hour)) as bucket
+            from bounds
+        ), filled as (
+            select e.bucket, cast(coalesce(c.cnt, 0) as bigint) as cnt
+            from expected e left join counts c on c.bucket = e.bucket
+        ), m as (
+            select quantile_cont(cnt, 0.5) as median_cnt from filled
+        ), d as (
+            select f.bucket, f.cnt, m.median_cnt,
+                   abs(f.cnt - m.median_cnt) as abs_dev
+            from filled f, m
+        ), md as (
+            select quantile_cont(abs_dev, 0.5) as mad_cnt from d
+        ), s as (
+            select d.bucket, d.cnt, d.median_cnt, md.mad_cnt,
+                   case when md.mad_cnt > 0
+                        then cast(0.6745 as double) * (d.cnt - d.median_cnt) / md.mad_cnt
+                   end as modified_z
+            from d, md
+        )
+        select bucket, cnt, median_cnt, mad_cnt, modified_z
+        from s
+        where (mad_cnt > 0 and abs(modified_z) > 2.0)
+           or (mad_cnt = 0 and cnt <> median_cnt)
+        order by bucket
         """,
         "fd_part_supplier": """
         select l_partkey,

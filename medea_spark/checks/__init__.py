@@ -1,6 +1,6 @@
 """Table-level data-quality checks (SURVEY.md §2.C C8-C14)."""
 
-from medea_spark.checks.completeness import time_gaps
+from medea_spark.checks.completeness import time_gaps, volume_anomalies
 from medea_spark.checks.drift import (
     BENFORD_P,
     benford_report,
@@ -56,6 +56,7 @@ __all__ = [
     "lang_size_histogram",
     "psi_statistic",
     "time_gaps",
+    "volume_anomalies",
     "wasserstein_distance",
     "orphan_rows",
     "referential_report",

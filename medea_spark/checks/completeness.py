@@ -1,7 +1,9 @@
 """Timeline-completeness check: find missing time buckets in an event
 stream (SURVEY.md §2.C data-quality extension — the freshness/
 completeness contract every ingestion pipeline wants: "we expect at
-least one event every <granularity>; which buckets are silent?").
+least one event every <granularity>; which buckets are silent?"),
+plus a robust per-bucket volume-anomaly screen on the same zero-filled
+timeline ("did ingestion spike or stall?").
 
 Plan shape: one DISTINCT hash aggregate (map-side combined) collapses
 the stream to its observed bucket universe — calendar-sized, never
@@ -43,3 +45,69 @@ def time_gaps(
         ).alias("bucket")
     )
     return expected.join(observed, "bucket", "left_anti").orderBy("bucket")
+
+
+def volume_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    granularity: str = "day",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-bucket row-volume anomaly screen: buckets whose event count
+    deviates from the corpus's typical bucket volume by more than
+    ``threshold`` robust (modified) z-scores — the "did ingestion
+    spike or stall on Tuesday?" monitor.  Returns
+    ``(bucket, cnt, median_cnt, mad_cnt, modified_z)`` for anomalous
+    buckets only, ordered by bucket.
+
+    The timeline is ZERO-FILLED first (same ``sequence`` trick as
+    :func:`time_gaps`): a bucket with no rows at all is the most
+    anomalous volume of all and must not silently drop out of the
+    screen.  ``modified_z = 0.6745 * (cnt - median) / MAD`` (Iglewicz &
+    Hoaglin); when MAD = 0 (majority-constant volumes) any deviation
+    from the median is flagged, mirroring ``mad_outliers``.
+
+    Scale shape: ONE map-side-combined hash aggregate collapses rows
+    to calendar-sized (bucket, cnt); everything after — zero-fill,
+    exact median/MAD (bit-identical to DuckDB ``quantile_cont``),
+    flagging — runs on that tiny relation via broadcast joins."""
+    if granularity not in _GRANULARITIES:
+        raise ValueError(f"granularity must be one of {_GRANULARITIES}")
+    counts = (
+        df.select(F.date_trunc(granularity, F.col(ts_col)).alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = counts.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    expected = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"interval 1 {granularity}"))
+        ).alias("bucket")
+    )
+    filled = expected.join(counts, "bucket", "left_outer").select(
+        "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    med = filled.agg(F.expr("percentile(cnt, 0.5)").alias("median_cnt"))
+    dev = filled.crossJoin(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col("cnt") - F.col("median_cnt"))
+    )
+    mad = dev.agg(F.expr("percentile(abs_dev, 0.5)").alias("mad_cnt"))
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "bucket",
+        "cnt",
+        "median_cnt",
+        "mad_cnt",
+        # raw IEEE double, deliberately NOT rounded: Spark round() (shortest-
+        # repr BigDecimal HALF_UP) and DuckDB round() (scaled-float) disagree
+        # on half-ties that grid-like counts actually produce, while the
+        # unrounded doubles are bit-identical across engines
+        F.when(
+            F.col("mad_cnt") > 0,
+            0.6745 * (F.col("cnt") - F.col("median_cnt")) / F.col("mad_cnt"),
+        ).alias("modified_z"),
+    )
+    return scored.filter(
+        (F.col("mad_cnt") > 0) & (F.abs(F.col("modified_z")) > threshold)
+        | (F.col("mad_cnt") == 0) & (F.col("cnt") != F.col("median_cnt"))
+    ).orderBy("bucket")

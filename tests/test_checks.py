@@ -549,3 +549,42 @@ def test_time_gaps(spark):
 
     with pytest.raises(ValueError, match="granularity"):
         time_gaps(df, "ts", "fortnight")
+
+
+def test_volume_anomalies(spark):
+    """A planted spike and a silent (zero-filled) hour are both
+    flagged; steady volumes are not; MAD=0 flags any deviation;
+    bad granularity raises."""
+    import datetime as dt
+
+    import pytest
+
+    from medea_spark.checks import volume_anomalies
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # 11 steady hours of ~10 events, hour 5 silent, hour 8 spiking to 200
+    for h in range(12):
+        if h == 5:
+            continue
+        n = 200 if h == 8 else 10 + (h % 3)  # 10/11/12 steady band
+        rows += [(base + dt.timedelta(hours=h, minutes=m % 60),) for m in range(n)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r.bucket.hour: r for r in volume_anomalies(df, "ts", "hour", 3.5).collect()}
+    assert set(got) == {5, 8}
+    assert got[5].cnt == 0 and got[5].modified_z < -3.5
+    assert got[8].cnt == 200 and got[8].modified_z > 3.5
+    assert got[5].median_cnt > 0 and got[5].mad_cnt > 0
+
+    # constant volumes: MAD = 0, one deviating hour flagged
+    const = []
+    for h in range(6):
+        n = 7 if h != 2 else 9
+        const += [(base + dt.timedelta(hours=h, minutes=m),) for m in range(n)]
+    cdf = spark.createDataFrame(const, "ts timestamp")
+    flagged = volume_anomalies(cdf, "ts", "hour", 3.5).collect()
+    assert [r.bucket.hour for r in flagged] == [2]
+    assert flagged[0].mad_cnt == 0.0 and flagged[0].modified_z is None
+
+    with pytest.raises(ValueError, match="granularity"):
+        volume_anomalies(df, "ts", "decade")
