@@ -452,6 +452,20 @@ def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_anomalies(ev, "ts", granularity="hour", threshold=2.0)
 
 
+def q_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ordering contract (checks/ordering.py
+    monotonic_violations): rows where the events value column
+    regresses within its user's ts-ordered sequence — the CDC/event-
+    log contract "within each entity the metric must not go
+    backwards".  One exchange on the key, lag window, violations-only
+    output; (user_id, ts) is verified unique at both scales so the
+    lag is deterministic."""
+    from medea_spark.checks import monotonic_violations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return monotonic_violations(ev, "user_id", "ts", "value")
+
+
 def q_fd_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency contract (checks/relationships.py
     fd_violations): assert l_partkey → l_suppkey on lineitem — "each
@@ -1828,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_wasserstein": q_drift_wasserstein,
         "time_gaps_events": q_time_gaps_events,
         "volume_anomalies_events": q_volume_anomalies,
+        "monotonic_events": q_monotonic_events,
         "topk_langs": q_topk_langs,
         "docs_setdiff": q_docs_setdiff,
         "corpus_validation": q_corpus_validation,
@@ -2256,6 +2271,18 @@ def oracle_sql() -> dict[str, str]:
         where (mad_cnt > 0 and abs(modified_z) > 2.0)
            or (mad_cnt = 0 and cnt <> median_cnt)
         order by bucket
+        """,
+        "monotonic_events": """
+        with v as (
+            select user_id, ts, value,
+                   lag(value) over (partition by user_id order by ts)
+                       as prev_value
+            from events
+        )
+        select user_id, ts, prev_value, value
+        from v
+        where prev_value > value
+        order by user_id, ts
         """,
         "fd_part_supplier": """
         select l_partkey,

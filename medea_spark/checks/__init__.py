@@ -1,6 +1,7 @@
 """Table-level data-quality checks (SURVEY.md §2.C C8-C14)."""
 
 from medea_spark.checks.completeness import time_gaps, volume_anomalies
+from medea_spark.checks.ordering import monotonic_violations
 from medea_spark.checks.drift import (
     BENFORD_P,
     benford_report,
@@ -54,6 +55,7 @@ __all__ = [
     "duplicate_keys",
     "ks_statistic",
     "lang_size_histogram",
+    "monotonic_violations",
     "psi_statistic",
     "time_gaps",
     "volume_anomalies",

@@ -588,3 +588,41 @@ def test_volume_anomalies(spark):
 
     with pytest.raises(ValueError, match="granularity"):
         volume_anomalies(df, "ts", "decade")
+
+
+def test_monotonic_violations(spark):
+    """Regressions within a key surface with their predecessor; first
+    row per key never violates; keys are independent; NULL values
+    break the chain without poisoning it; strict mode flags ties;
+    bad args raise."""
+    import pytest
+
+    from medea_spark.checks import monotonic_violations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 11.0),  # 3 regresses
+            ("a", 4, 11.0),                                   # tie: ok nondecr
+            ("b", 1, 5.0), ("b", 2, 4.0),                     # 2 regresses
+            ("c", 1, 7.0), ("c", 2, None), ("c", 3, 1.0),     # NULL breaks chain
+        ],
+        ["k", "seq", "v"],
+    )
+    got = [(r.k, r.seq, r.prev_value, r.value)
+           for r in monotonic_violations(df, "k", "seq", "v").collect()]
+    assert got == [("a", 3, 12.0, 11.0), ("b", 2, 5.0, 4.0)]
+
+    strict = [(r.k, r.seq)
+              for r in monotonic_violations(df, "k", "seq", "v",
+                                            "strict_increasing").collect()]
+    assert ("a", 4) in strict and ("a", 3) in strict
+
+    desc = [(r.k, r.seq)
+            for r in monotonic_violations(df, "k", "seq", "v",
+                                          "nonincreasing").collect()]
+    assert desc == [("a", 2)]
+
+    with pytest.raises(ValueError, match="direction"):
+        monotonic_violations(df, "k", "seq", "v", "sideways")
+    with pytest.raises(ValueError, match="at least one"):
+        monotonic_violations(df, [], "seq", "v")
