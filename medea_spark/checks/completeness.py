@@ -69,8 +69,11 @@ def volume_anomalies(
 
     Scale shape: ONE map-side-combined hash aggregate collapses rows
     to calendar-sized (bucket, cnt); everything after — zero-fill,
-    exact median/MAD (bit-identical to DuckDB ``quantile_cont``),
-    flagging — runs on that tiny relation via broadcast joins."""
+    exact median/MAD (bit-identical to DuckDB ``quantile_cont``) as
+    stacked whole-frame window aggregates over the single
+    calendar-sized partition, flagging — evaluates the pipeline
+    exactly once (chained percentile aggregates would re-run the scan
+    once per statistic)."""
     if granularity not in _GRANULARITIES:
         raise ValueError(f"granularity must be one of {_GRANULARITIES}")
     counts = (
@@ -88,12 +91,19 @@ def volume_anomalies(
     filled = expected.join(counts, "bucket", "left_outer").select(
         "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
     )
-    med = filled.agg(F.expr("percentile(cnt, 0.5)").alias("median_cnt"))
-    dev = filled.crossJoin(F.broadcast(med)).withColumn(
-        "abs_dev", F.abs(F.col("cnt") - F.col("median_cnt"))
-    )
-    mad = dev.agg(F.expr("percentile(abs_dev, 0.5)").alias("mad_cnt"))
-    scored = dev.crossJoin(F.broadcast(mad)).select(
+    # median and MAD as stacked whole-frame window aggregates over the
+    # single calendar-sized partition: chained percentile AGGREGATES
+    # would re-evaluate the scan→agg chain once per statistic (3 full
+    # passes at 100 TB); as windows the pipeline evaluates exactly once
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    dev = filled.withColumn(
+        "median_cnt", F.expr("percentile(cnt, 0.5)").over(wall)
+    ).withColumn("abs_dev", F.abs(F.col("cnt") - F.col("median_cnt")))
+    scored = dev.withColumn(
+        "mad_cnt", F.expr("percentile(abs_dev, 0.5)").over(wall)
+    ).select(
         "bucket",
         "cnt",
         "median_cnt",

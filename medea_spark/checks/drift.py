@@ -247,13 +247,18 @@ def ks_statistic(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    totals = j.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ecdf = j.crossJoin(F.broadcast(totals)).select(
-        (F.sum("ca").over(w) / F.col("n_a")).alias("fa"),
-        (F.sum("cb").over(w) / F.col("n_b")).alias("fb"),
-        "n_a",
-        "n_b",
+    # totals as whole-frame window sums in the SAME window stage as the
+    # cumulative ECDFs — a separate totals aggregate would re-evaluate
+    # the whole scan→agg→join chain (a second full pass at 100 TB)
+    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ecdf = j.select(
+        (F.sum("ca").over(cum) / F.sum("ca").over(wall)).alias("fa"),
+        (F.sum("cb").over(cum) / F.sum("cb").over(wall)).alias("fb"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
     )
     return ecdf.agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
@@ -305,15 +310,19 @@ def wasserstein_distance(
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
     )
-    totals = j.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    # totals via whole-frame window sums — same single window stage,
+    # no second evaluation of the scan→agg→join chain (see ks_statistic)
     cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     nxt = Window.orderBy("x")
-    ecdf = j.crossJoin(F.broadcast(totals)).select(
-        (F.sum("ca").over(cum) / F.col("n_a")).alias("fa"),
-        (F.sum("cb").over(cum) / F.col("n_b")).alias("fb"),
+    ecdf = j.select(
+        (F.sum("ca").over(cum) / F.sum("ca").over(wall)).alias("fa"),
+        (F.sum("cb").over(cum) / F.sum("cb").over(wall)).alias("fb"),
         (F.lead("x").over(nxt) - F.col("x")).alias("gap"),
-        "n_a",
-        "n_b",
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
     )
     return ecdf.agg(
         F.round(
