@@ -410,6 +410,23 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented KS drift (checks/drift.py ks_statistic(by=...)): the
+    events value distribution, odd vs even users, per event_type —
+    "did the metric drift, and for which segment?".  Same ECDF shape
+    as drift_ks but the windows PARTITION on the group columns, so the
+    plan distributes instead of funnelling into one task."""
+    from medea_spark.checks import ks_statistic
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ks_statistic(
+        ev.filter(F.col("user_id") % 2 == 1),
+        ev.filter(F.col("user_id") % 2 == 0),
+        "value",
+        by=["event_type"],
+    )
+
+
 def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-Wasserstein drift distance (checks/drift.py
     wasserstein_distance) on the events value column, odd vs even
@@ -1839,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_part_supplier": q_fd_part_supplier,
         "mad_outliers_lineitem": q_mad_outliers_lineitem,
         "drift_ks": q_drift_ks,
+        "drift_ks_by_type": q_drift_ks_by_type,
         "drift_wasserstein": q_drift_wasserstein,
         "time_gaps_events": q_time_gaps_events,
         "volume_anomalies_events": q_volume_anomalies,
@@ -2189,6 +2207,44 @@ def oracle_sql() -> dict[str, str]:
                cast(min(n_b) as bigint) as n_baseline,
                cast(count(*) as bigint) as n_values
         from e
+        """,
+        "drift_ks_by_type": """
+        with a as (
+            select event_type, cast(value as double) as x,
+                   cast(count(*) as bigint) as ca
+            from events where user_id % 2 = 1 and value is not null
+            group by 1, 2
+        ), b as (
+            select event_type, cast(value as double) as x,
+                   cast(count(*) as bigint) as cb
+            from events where user_id % 2 = 0 and value is not null
+            group by 1, 2
+        ), j as (
+            select coalesce(a.event_type, b.event_type) as event_type,
+                   coalesce(a.x, b.x) as x,
+                   coalesce(ca, 0) as ca, coalesce(cb, 0) as cb
+            from a full outer join b
+              on a.event_type = b.event_type and a.x = b.x
+        ), e as (
+            select event_type,
+                   sum(ca) over (partition by event_type order by x
+                                 rows between unbounded preceding and current row)
+                       / nullif(sum(ca) over (partition by event_type), 0) as fa,
+                   sum(cb) over (partition by event_type order by x
+                                 rows between unbounded preceding and current row)
+                       / nullif(sum(cb) over (partition by event_type), 0) as fb,
+                   sum(ca) over (partition by event_type) as n_a,
+                   sum(cb) over (partition by event_type) as n_b
+            from j
+        )
+        select event_type,
+               round(max(abs(fa - fb)), 6) as ks_stat,
+               cast(min(n_a) as bigint) as n_current,
+               cast(min(n_b) as bigint) as n_baseline,
+               cast(count(*) as bigint) as n_values
+        from e
+        group by event_type
+        order by event_type
         """,
         "drift_wasserstein": """
         with a as (

@@ -183,35 +183,42 @@ def ks_statistic(
     col: str,
     bins: int | None = None,
     accuracy: int = 10000,
+    by: list[str] | None = None,
 ) -> DataFrame:
-    """One-row two-sample Kolmogorov-Smirnov distance for a NUMERIC
-    column: ``(ks_stat, n_current, n_baseline, n_values)`` where
-    ``ks_stat = max |F_cur(x) - F_base(x)|`` over the observed value
-    universe — the drift test for continuous columns where chi-square
-    / PSI would need an arbitrary binning.  NULLs are excluded.
+    """Two-sample Kolmogorov-Smirnov distance for a NUMERIC column:
+    ``(ks_stat, n_current, n_baseline, n_values)`` where ``ks_stat =
+    max |F_cur(x) - F_base(x)|`` over the observed value universe —
+    the drift test for continuous columns where chi-square / PSI would
+    need an arbitrary binning.  NULLs are excluded.  One row total, or
+    one row per group when ``by`` names segment columns (drift BY
+    segment — "did latency drift, and for which endpoint?").
 
     Plan shape: one hash aggregate per side collapses rows to
-    (distinct value, count) — map-side combined, so row volume never
-    reaches the ordering step — then a full-outer join and ONE
-    ordered window over the merged distinct values computes both
-    ECDFs cumulatively.  The window is unpartitioned (a single task),
-    but it runs over DISTINCT values, not rows: fine whenever the
-    column's cardinality is task-sized (measurements, sizes, scores).
-    For genuinely high-cardinality columns at 100 TB pass ``bins`` —
-    values are first quantized to ``bins`` equi-probable buckets of
-    the CURRENT side (GK ``percentile_approx`` edges; per-row bucket
+    ([group,] distinct value, count) — map-side combined, so row
+    volume never reaches the ordering step — then a full-outer join
+    and ONE ordered window over the merged distinct values computes
+    both ECDFs cumulatively.  Ungrouped, the window is unpartitioned
+    (a single task) but runs over DISTINCT values, not rows: fine
+    whenever the column's cardinality is task-sized (measurements,
+    sizes, scores); with ``by`` the windows partition on the group
+    columns and distribute.  For genuinely high-cardinality columns
+    at 100 TB pass ``bins`` — values are first quantized to ``bins``
+    equi-probable buckets of the CURRENT side (GK
+    ``percentile_approx`` edges, computed globally; per-row bucket
     assignment is an Arrow-batched vectorized binary search, O(log
     bins) per row), an approximation of the statistic with error ≤
-    1/bins that keeps the window input constant-size.  The exact (unbinned) path is what
-    the DuckDB oracle replays — identical cumulative sums, IEEE
-    division, round(6)."""
+    1/bins that keeps the window input constant-size.  The exact
+    (unbinned) path is what the DuckDB oracle replays — identical
+    cumulative sums, IEEE division, round(6)."""
     from pyspark.sql import Window
+
+    by = list(by or [])
 
     def side(df: DataFrame, name: str) -> DataFrame:
         return (
-            df.select(F.col(col).cast("double").alias("x"))
+            df.select(*by, F.col(col).cast("double").alias("x"))
             .filter(F.col("x").isNotNull())
-            .groupBy("x")
+            .groupBy(*by, "x")
             .agg(F.count(F.lit(1)).alias(name))
         )
 
@@ -251,14 +258,17 @@ def ks_statistic(
 
         def quantize(df: DataFrame) -> DataFrame:
             return (
-                df.select(F.col(col).cast("double").alias("raw"))
+                df.select(*by, F.col(col).cast("double").alias("raw"))
                 .filter(F.col("raw").isNotNull())
-                .select(bucketize("raw").alias(col))
+                .select(*by, bucketize("raw").alias(col))
             )
 
         cur, base = quantize(current), quantize(baseline)
     a, b = side(cur, "ca"), side(base, "cb")
-    j = a.join(b, "x", "full_outer").select(
+    # name-list join: Spark coalesces the join keys on full outer, so a
+    # group/value present on only one side still carries its identity
+    j = a.join(b, [*by, "x"], "full_outer").select(
+        *by,
         "x",
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
@@ -266,22 +276,37 @@ def ks_statistic(
     # totals as whole-frame window sums in the SAME window stage as the
     # cumulative ECDFs — a separate totals aggregate would re-evaluate
     # the whole scan→agg→join chain (a second full pass at 100 TB)
-    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    cum = (
+        Window.partitionBy(*by)
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wall = (
+        Window.partitionBy(*by)
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # nullif guards the ANSI divide: a group present on only one side
+    # (a novel/vanished segment) gets ks_stat NULL with the zero count
+    # visible, instead of a divide-by-zero error
     ecdf = j.select(
-        (F.sum("ca").over(cum) / F.sum("ca").over(wall)).alias("fa"),
-        (F.sum("cb").over(cum) / F.sum("cb").over(wall)).alias("fb"),
+        *by,
+        (F.sum("ca").over(cum) / F.nullif(F.sum("ca").over(wall), F.lit(0))).alias(
+            "fa"
+        ),
+        (F.sum("cb").over(cum) / F.nullif(F.sum("cb").over(wall), F.lit(0))).alias(
+            "fb"
+        ),
         F.sum("ca").over(wall).alias("n_a"),
         F.sum("cb").over(wall).alias("n_b"),
     )
-    return ecdf.agg(
+    out = ecdf.groupBy(*by).agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
         F.first("n_a").alias("n_current"),
         F.first("n_b").alias("n_baseline"),
         F.count(F.lit(1)).cast("long").alias("n_values"),
     )
+    return out.orderBy(*by) if by else out
 
 
 def wasserstein_distance(

@@ -475,6 +475,34 @@ def test_ks_statistic(spark):
         ks_statistic(cur, base, "x", bins=1)
 
 
+def test_ks_statistic_grouped(spark):
+    """by= computes an independent per-segment KS: a drifted group and
+    an identical group report separately; a group present on only one
+    side yields NULL ks_stat (not a divide-by-zero) with its zero
+    count visible."""
+    from medea_spark.checks import ks_statistic
+
+    cur = spark.createDataFrame(
+        [("drift", float(i)) for i in range(10)]
+        + [("same", float(i % 4)) for i in range(12)]
+        + [("novel", 1.0), ("novel", 2.0)],
+        ["seg", "x"],
+    )
+    base = spark.createDataFrame(
+        [("drift", float(i + 100)) for i in range(10)]
+        + [("same", float(i % 4)) for i in range(12)],
+        ["seg", "x"],
+    )
+    rows = {r.seg: r for r in ks_statistic(cur, base, "x", by=["seg"]).collect()}
+    assert set(rows) == {"drift", "same", "novel"}
+    assert rows["drift"].ks_stat == 1.0
+    assert rows["same"].ks_stat == 0.0
+    assert rows["novel"].ks_stat is None
+    assert rows["novel"].n_current == 2 and rows["novel"].n_baseline == 0
+    # per-group counts, not global
+    assert rows["drift"].n_current == 10 and rows["same"].n_values == 4
+
+
 def test_wasserstein_distance(spark):
     """W1 distance: identical samples give 0; a constant shift of a
     point mass gives exactly the shift; a hand-computed mixed case
