@@ -1621,6 +1621,62 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "rank")
 
 
+def q_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster keeper selection
+    (pipeline/components.py quality_keepers): the dedup_clusters graph
+    re-kept by document QUALITY — the keeper is the longest document
+    (n_chars as the score) of each duplicate cluster, min-id
+    tie-break, not the smallest id.  Windowless argmax: hash-agg of
+    max(struct(score, -id)) + same-key join back, nothing sorts.
+    DuckDB replays the recursive-CTE clustering plus a rank window."""
+    from medea_spark.pipeline import duplicate_clusters, quality_keepers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cc:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    edges = docs.filter(h % 3 == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    clusters = duplicate_clusters(edges)
+    # Quality from the UNFILTERED table: edge targets can step one past
+    # the subset boundary, and a mentioned node with no quality row
+    # must still rank (below every scored doc) rather than vanish.
+    quality = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    return quality_keepers(clusters, quality).orderBy("doc_id")
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (pipeline/lm.py): train add-1
+    smoothed bigram counts on the FULL documents corpus (two explode →
+    hash-agg passes), then score the first 300 documents — the
+    CCNet-style quality signal (low perplexity = in-distribution text,
+    high = noise/outlier).  LM relations broadcast; the corpus side
+    never shuffles raw text.  DuckDB independently rebuilds the same
+    counts and the identical IEEE ln scores; doubles rounded to 6
+    decimals (irrational values — no half-tie exposure)."""
+    from medea_spark.pipeline import bigram_counts, perplexity, unigram_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni = unigram_counts(docs, "text")
+    bi = bigram_counts(docs, "text")
+    scored = perplexity(
+        docs.filter(F.col("doc_id") < 300), "doc_id", "text", uni, bi, alpha=1.0
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (pipeline/textstats.py
     repetition_stats): per-document excess-word fraction plus top/excess
@@ -1895,6 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "random_projection": q_random_projection,
         "decontam_docs": q_decontam_docs,
+        "lm_perplexity": q_lm_perplexity,
+        "quality_keepers": q_quality_keepers,
         "repetition_profile": q_repetition_profile,
         "tfidf_terms": q_tfidf_terms,
         "vocab_topk": q_vocab_topk,
@@ -3190,6 +3248,77 @@ def oracle_sql() -> dict[str, str]:
                n_email, n_ip,
                cast(len(regexp_extract_all(t2, '\+\d{9,15}\b')) as int) as n_phone
         from s2 order by doc_id
+        """,
+        "quality_keepers": """
+        with recursive e as (
+            select doc_id as a, doc_id + 1 as b from documents
+            where doc_id < 500
+              and cast(('0x' || substr(md5('cc:' || cast(doc_id as varchar)), 1, 15)) as bigint) % 3 = 0
+        ), sym as (
+            select a as u, b as v from e
+            union
+            select b as u, a as v from e
+        ), nodes as (
+            select distinct u as node from sym
+        ), reach(node, label) as (
+            select node, node from nodes
+            union
+            select s.v, r.label from reach r join sym s on s.u = r.node
+        ), clusters as (
+            select node as doc_id, min(label) as cluster_id
+            from reach group by node
+        ), scored as (
+            select c.doc_id, c.cluster_id, cast(d.n_chars as double) as score
+            from clusters c left join documents d using (doc_id)
+        )
+        select doc_id, cluster_id, score,
+               (row_number() over (partition by cluster_id
+                                   order by (score is null) asc, score desc,
+                                            doc_id asc)) = 1 as is_keeper
+        from scored order by doc_id
+        """,
+        "lm_perplexity": r"""
+        with toks as (
+          select doc_id,
+                 case when trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                      then []::varchar[]
+                      else string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+                 end as toks
+          from documents
+        ), uni as (
+          select w, cast(count(*) as bigint) as c_uni
+          from (select unnest(toks) as w from toks) group by w
+        ), v as (
+          select count(*) + 1 as vocab_v from uni
+        ), idx as (
+          select doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 1)) as i
+          from toks
+        ), bi as (
+          select toks[i] as w1, toks[i + 1] as w2,
+                 cast(count(*) as bigint) as c_bi
+          from idx group by w1, w2
+        ), pos as (
+          select doc_id, toks[i] as w1, toks[i + 1] as w2
+          from idx where doc_id < 300
+        ), scored as (
+          select p.doc_id,
+                 ln((coalesce(b.c_bi, 0) + 1.0)
+                    / (coalesce(u.c_uni, 0) + 1.0 * (select vocab_v from v))) as logp
+          from pos p
+          left join bi b on p.w1 = b.w1 and p.w2 = b.w2
+          left join uni u on p.w1 = u.w
+        ), agg as (
+          select doc_id, cast(count(logp) as bigint) as n_bigrams, sum(logp) as total
+          from scored group by doc_id
+        )
+        select d.doc_id,
+               coalesce(a.n_bigrams, 0) as n_bigrams,
+               round(a.total / a.n_bigrams, 6) as avg_logprob,
+               round(exp(-(a.total / a.n_bigrams)), 6) as perplexity
+        from (select doc_id from documents where doc_id < 300) d
+        left join agg a using (doc_id)
+        order by doc_id
         """,
         "repetition_profile": r"""
         with norm as (

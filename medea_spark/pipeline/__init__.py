@@ -36,6 +36,7 @@ from medea_spark.pipeline.redact import PII_PATTERNS, pii_counts, redact_pii, sc
 from medea_spark.pipeline.components import (
     connected_components,
     duplicate_clusters,
+    quality_keepers,
 )
 from medea_spark.pipeline.sampling import (
     build_training_mix,
@@ -44,6 +45,7 @@ from medea_spark.pipeline.sampling import (
     sample_predicate,
     stratified_sample,
 )
+from medea_spark.pipeline.lm import bigram_counts, perplexity, unigram_counts
 from medea_spark.pipeline.sessions import session_stats, sessionize
 from medea_spark.pipeline.similarity import (
     embedding_stats,

@@ -242,3 +242,49 @@ def duplicate_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def quality_keepers(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware keeper selection: instead of the min-id keep rule,
+    keep the HIGHEST-QUALITY document of each duplicate cluster (the
+    real-world dedup policy — the canonical copy should be the best
+    one, not the one with the smallest id).
+
+    ``clusters`` is (id_col, cluster_col, ...) — e.g.
+    ``duplicate_clusters`` output; ``quality`` is (id_col, score_col).
+    Keeper = argmax(score) per cluster with ties broken to the
+    SMALLEST id (deterministic, rerun-stable).  Documents missing from
+    ``quality`` or with NULL scores rank below every scored document.
+
+    Returns (id_col, cluster_col, score_col, is_keeper).
+
+    100-TB shape: windowless argmax — a hash-agg of
+    ``max(struct(score, -id))`` keyed on the cluster followed by a
+    same-key join back, so both exchanges hash-partition on
+    ``cluster_col`` and nothing sorts; no per-cluster row blowup, no
+    skew beyond the largest cluster's row count.
+    """
+    scored = clusters.select(id_col, cluster_col).join(
+        quality.select(id_col, score_col), [id_col], "left"
+    )
+    rank = F.struct(
+        F.coalesce(F.col(score_col), F.lit(float("-inf"))).alias("s"),
+        (-F.col(id_col)).alias("negid"),
+    )
+    keepers = (
+        scored.groupBy(cluster_col)
+        .agg(F.max(rank).alias("_m"))
+        .select(cluster_col, (-F.col("_m.negid")).alias("_keeper_id"))
+    )
+    return scored.join(keepers, [cluster_col]).select(
+        id_col,
+        cluster_col,
+        score_col,
+        (F.col(id_col) == F.col("_keeper_id")).alias("is_keeper"),
+    )

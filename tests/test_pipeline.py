@@ -1711,3 +1711,93 @@ def test_chunk_documents_randomized_reconstruction(spark):
             parts = c.chunk_text.split() if c.chunk_text else []
             rebuilt.extend(parts if j == 0 else parts[overlap:])
         assert rebuilt == toks, (i, len(toks))
+
+
+def test_bigram_lm_perplexity_hand_case(spark):
+    """Hand-computed add-1 bigram scores on a 3-doc corpus.
+
+    Corpus: "a b a b", "a b c", "c".  Unigrams: a=3 b=3 c=2 -> V=4.
+    Bigrams: (a,b)=3 (b,a)=1 (b,c)=1.
+    """
+    import math
+
+    from medea_spark.pipeline import bigram_counts, perplexity, unigram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")], ["doc_id", "text"]
+    )
+    uni = unigram_counts(docs, "text")
+    bi = bigram_counts(docs, "text")
+    assert {(r["w"], r["c_uni"]) for r in uni.collect()} == {
+        ("a", 3), ("b", 3), ("c", 2)
+    }
+    assert {(r["w1"], r["w2"], r["c_bi"]) for r in bi.collect()} == {
+        ("a", "b", 3), ("b", "a", 1), ("b", "c", 1)
+    }
+
+    out = {r["doc_id"]: r for r in perplexity(docs, "doc_id", "text", uni, bi).collect()}
+    V = 4  # 3 vocab types + 1 unseen slot
+    p_ab = (3 + 1) / (3 + V)   # c(a,b)=3, c(a)=3
+    p_ba = (1 + 1) / (3 + V)   # c(b,a)=1, c(b)=3
+    p_bc = (1 + 1) / (3 + V)
+    # doc 1: a b a b -> (a,b) (b,a) (a,b)
+    exp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logprob"] - exp1) < 1e-12
+    assert abs(out[1]["perplexity"] - math.exp(-exp1)) < 1e-12
+    # doc 2: a b c -> (a,b) (b,c)
+    exp2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert abs(out[2]["avg_logprob"] - exp2) < 1e-12
+    # doc 3: single token -> no bigram positions, NULL score (not 0)
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["avg_logprob"] is None and out[3]["perplexity"] is None
+
+
+def test_bigram_lm_oov_scoring(spark):
+    """Scoring a corpus disjoint from the training corpus: every bigram
+    and unigram falls back to c=0 and the add-1 formula stays finite."""
+    import math
+
+    from medea_spark.pipeline import bigram_counts, perplexity, unigram_counts
+
+    train = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    uni = unigram_counts(train, "text")
+    bi = bigram_counts(train, "text")
+    score = spark.createDataFrame([(9, "x y z")], ["doc_id", "text"])
+    out = perplexity(score, "doc_id", "text", uni, bi).collect()[0]
+    V = 3  # {a, b} + 1
+    p_unseen = 1 / (0 + V)
+    assert out["n_bigrams"] == 2
+    assert abs(out["avg_logprob"] - math.log(p_unseen)) < 1e-12
+    assert abs(out["perplexity"] - V) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        perplexity(score, "doc_id", "text", uni, bi, alpha=0.0)
+
+
+def test_quality_keepers_semantics(spark):
+    """Keeper = argmax(score) per cluster, ties to smallest id, NULL /
+    missing scores rank below every scored doc, singleton clusters keep
+    themselves."""
+    from medea_spark.pipeline import quality_keepers
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        ["doc_id", "cluster_id"],
+    )
+    # doc 3 has the top score in cluster 1; docs 10/11 tie -> keep 10;
+    # doc 20 (singleton) has NO quality row at all.
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, 0.9), (10, 0.7), (11, 0.7)],
+        "doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["score"], r["is_keeper"])
+        for r in quality_keepers(clusters, quality).collect()
+    }
+    assert out[3] == (1, 0.9, True)
+    assert out[1] == (1, 0.5, False) and out[2] == (1, None, False)
+    assert out[10] == (10, 0.7, True) and out[11] == (10, 0.7, False)
+    assert out[20] == (20, None, True)
