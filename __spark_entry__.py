@@ -427,6 +427,33 @@ def q_drift_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-diversity profile (checks/stats.py
+    categorical_entropy): Shannon entropy of the documents lang and
+    source columns — the mode-collapse read on a training corpus.
+    One hash-agg to value counts per column, then a tiny aggregate
+    over the count relation; NULL is its own category.  DuckDB
+    recomputes the identical ln-based formula."""
+    from medea_spark.checks import categorical_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return categorical_entropy(docs, ["lang", "source"]).orderBy("col_name")
+
+
+def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation (checks/stats.py pairwise_corr)
+    across four lineitem measures — every C(4,2) pair's six raw
+    moments ride ONE whole-stage-codegen aggregate pass (no per-pair
+    jobs); pairwise NULL deletion; DuckDB recomputes the identical
+    raw-moment formula."""
+    from medea_spark.checks import pairwise_corr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return pairwise_corr(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_a", "col_b")
+
+
 def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-Wasserstein drift distance (checks/drift.py
     wasserstein_distance) on the events value column, odd vs even
@@ -1914,6 +1941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         "drift_ks_by_type": q_drift_ks_by_type,
         "drift_wasserstein": q_drift_wasserstein,
+        "entropy_profile": q_entropy_profile,
+        "corr_lineitem": q_corr_lineitem,
         "time_gaps_events": q_time_gaps_events,
         "volume_anomalies_events": q_volume_anomalies,
         "monotonic_events": q_monotonic_events,
@@ -2303,6 +2332,71 @@ def oracle_sql() -> dict[str, str]:
         from e
         group by event_type
         order by event_type
+        """,
+        "entropy_profile": """
+        with lang_c as (
+          select lang as v, cast(count(*) as bigint) as cnt
+          from documents group by lang
+        ), src_c as (
+          select source as v, cast(count(*) as bigint) as cnt
+          from documents group by source
+        ), lang_e as (
+          select 'lang' as col_name,
+                 cast(sum(cnt) as bigint) as n_values,
+                 cast(count(*) as bigint) as n_distinct,
+                 ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt) as h
+          from lang_c
+        ), src_e as (
+          select 'source' as col_name,
+                 cast(sum(cnt) as bigint) as n_values,
+                 cast(count(*) as bigint) as n_distinct,
+                 ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt) as h
+          from src_c
+        ), u as (
+          select * from lang_e union all select * from src_e
+        )
+        select col_name, n_values, n_distinct,
+               round(h, 6) as entropy,
+               round(case when n_distinct > 1 then h / ln(n_distinct)
+                          else 0.0 end, 6) as normalized_entropy
+        from u order by col_name
+        """,
+        "corr_lineitem": """
+        with pairs(col_a, col_b) as (
+          values ('l_quantity', 'l_extendedprice'),
+                 ('l_quantity', 'l_discount'),
+                 ('l_quantity', 'l_tax'),
+                 ('l_extendedprice', 'l_discount'),
+                 ('l_extendedprice', 'l_tax'),
+                 ('l_discount', 'l_tax')
+        ), vals as (
+          select p.col_a, p.col_b,
+                 case p.col_a when 'l_quantity' then l.l_quantity
+                              when 'l_extendedprice' then l.l_extendedprice
+                              when 'l_discount' then l.l_discount
+                              else l.l_tax end as x,
+                 case p.col_b when 'l_extendedprice' then l.l_extendedprice
+                              when 'l_discount' then l.l_discount
+                              else l.l_tax end as y
+          from lineitem l cross join pairs p
+        ), m as (
+          select col_a, col_b,
+                 cast(count(*) filter (x is not null and y is not null) as bigint) as n,
+                 sum(x) filter (x is not null and y is not null) as sx,
+                 sum(y) filter (x is not null and y is not null) as sy,
+                 sum(x * y) filter (x is not null and y is not null) as sxy,
+                 sum(x * x) filter (x is not null and y is not null) as sxx,
+                 sum(y * y) filter (x is not null and y is not null) as syy
+          from vals group by col_a, col_b
+        )
+        select col_a, col_b, n,
+               round(case when (cast(n as double) * sxx - sx * sx) > 0
+                           and (cast(n as double) * syy - sy * sy) > 0
+                          then (cast(n as double) * sxy - sx * sy)
+                               / sqrt((cast(n as double) * sxx - sx * sx)
+                                      * (cast(n as double) * syy - sy * sy))
+                     end, 6) as corr
+        from m order by col_a, col_b
         """,
         "drift_wasserstein": """
         with a as (

@@ -14,7 +14,14 @@ from medea_spark.checks.drift import (
     wasserstein_distance,
 )
 from medea_spark.checks.referential import orphan_rows, referential_report
-from medea_spark.checks.stats import column_quantiles, column_stats, diff_tables, top_k
+from medea_spark.checks.stats import (
+    categorical_entropy,
+    column_quantiles,
+    column_stats,
+    diff_tables,
+    pairwise_corr,
+    top_k,
+)
 from medea_spark.checks.suite import (
     Rule,
     accepted_values,
@@ -39,9 +46,11 @@ __all__ = [
     "accepted_values",
     "BENFORD_P",
     "benford_report",
+    "categorical_entropy",
     "chi_square_p_value",
     "chi_square_statistic",
     "column_quantiles",
+    "pairwise_corr",
     "column_stats",
     "in_range",
     "matches",

@@ -111,3 +111,98 @@ def diff_tables(a: DataFrame, b: DataFrame) -> DataFrame:
     a_only = a.exceptAll(b).withColumn("side", F.lit("a_only"))
     b_only = b.exceptAll(a).withColumn("side", F.lit("b_only"))
     return a_only.unionByName(b_only)
+
+
+def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each categorical column — the data-
+    diversity / mode-collapse read on a training corpus: near-zero
+    entropy means one value dominates; ``normalized_entropy`` (÷ ln k)
+    is 1.0 for a uniform column regardless of cardinality.
+
+    Long format: (col_name, n_values, n_distinct, entropy,
+    normalized_entropy).  NULL counts as its own category (a column
+    that is 99% NULL IS low-diversity).  Per column: one hash-agg to
+    value counts (map-side combined), then one tiny aggregate over the
+    count relation using H = ln(n) − Σ c·ln(c) / n — no per-value
+    driver loop; the per-column plans union into one job.
+    """
+    if not cols:
+        raise ValueError("categorical_entropy needs at least one column")
+    parts = []
+    for c in cols:
+        counts = df.groupBy(F.col(c)).agg(F.count(F.lit(1)).alias("cnt"))
+        one = counts.agg(
+            F.sum("cnt").alias("n_values"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("_clnc"),
+        )
+        h = F.log(F.col("n_values")) - F.col("_clnc") / F.col("n_values")
+        parts.append(
+            one.select(
+                F.lit(c).alias("col_name"),
+                "n_values",
+                "n_distinct",
+                F.round(h, 6).alias("entropy"),
+                F.round(
+                    F.when(F.col("n_distinct") > 1, h / F.log(F.col("n_distinct")))
+                    .otherwise(F.lit(0.0)),
+                    6,
+                ).alias("normalized_entropy"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pairwise_corr(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation for every column pair, ONE aggregate pass.
+
+    Long format: (col_a, col_b, n, corr) for each pair a < b (input
+    order).  Pairwise deletion: a row contributes to a pair only when
+    BOTH values are non-NULL.  corr is NULL when n = 0 or either
+    variance is 0 — "no evidence", not 0.
+
+    The raw-moment formula (n·Σxy − Σx·Σy over the root of the
+    variance terms) is computed identically in the DuckDB oracle, so
+    results compare bit-stably after rounding; all 6·C(k,2) terms ride
+    a single whole-stage-codegen aggregate — no per-pair jobs, no
+    second scan, no shuffle beyond the one-row aggregate exchange.
+    """
+    if len(cols) < 2:
+        raise ValueError("pairwise_corr needs at least two columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        x = F.when(both, F.col(a).cast("double"))
+        y = F.when(both, F.col(b).cast("double"))
+        aggs += [
+            F.count(x).alias(f"_n{i}"),
+            F.sum(x).alias(f"_sx{i}"),
+            F.sum(y).alias(f"_sy{i}"),
+            F.sum(x * y).alias(f"_sxy{i}"),
+            F.sum(x * x).alias(f"_sxx{i}"),
+            F.sum(y * y).alias(f"_syy{i}"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col(f"_n{i}").cast("double")
+        num = n * F.col(f"_sxy{i}") - F.col(f"_sx{i}") * F.col(f"_sy{i}")
+        vx = n * F.col(f"_sxx{i}") - F.col(f"_sx{i}") * F.col(f"_sx{i}")
+        vy = n * F.col(f"_syy{i}") - F.col(f"_sy{i}") * F.col(f"_sy{i}")
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"_n{i}").alias("n"),
+                F.round(
+                    F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)), 6
+                ).alias("corr"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n", "p.corr"
+    )

@@ -707,3 +707,56 @@ def test_ks_wasserstein_differential_vs_pure_python(spark):
         assert ks_row.n_values == n_vals == w1_row.n_values
 
     run()
+
+
+def test_categorical_entropy_hand_cases(spark):
+    """Uniform column -> normalized 1.0; constant -> 0; NULL is its own
+    category; ln-based values match a hand computation."""
+    import math
+
+    from medea_spark.checks import categorical_entropy
+
+    df = spark.createDataFrame(
+        [("a", "x", None), ("b", "x", None), ("c", "x", None), ("d", "x", "v")],
+        "u string, const string, mostly_null string",
+    )
+    out = {r["col_name"]: r for r in categorical_entropy(df, ["u", "const", "mostly_null"]).collect()}
+    assert out["u"]["n_distinct"] == 4
+    assert abs(out["u"]["entropy"] - math.log(4)) < 1e-6
+    assert out["u"]["normalized_entropy"] == 1.0
+    assert out["const"]["entropy"] == 0.0 and out["const"]["normalized_entropy"] == 0.0
+    # mostly_null: counts {NULL: 3, v: 1} -> H = ln(4) - (3 ln 3)/4
+    exp = math.log(4) - 3 * math.log(3) / 4
+    assert out["mostly_null"]["n_distinct"] == 2
+    assert abs(out["mostly_null"]["entropy"] - exp) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        categorical_entropy(df, [])
+
+
+def test_pairwise_corr_hand_cases(spark):
+    """Perfect linear -> 1, anti -> -1, constant -> NULL corr, and
+    pairwise NULL deletion drops only the rows where EITHER is NULL."""
+    from medea_spark.checks import pairwise_corr
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, -1.0, 5.0),
+            (2.0, 4.0, -2.0, 5.0),
+            (3.0, 6.0, -3.0, 5.0),
+            (4.0, None, -4.0, 5.0),
+        ],
+        "x double, y double, z double, c double",
+    )
+    out = {(r["col_a"], r["col_b"]): r for r in pairwise_corr(df, ["x", "y", "z", "c"]).collect()}
+    assert out[("x", "y")]["n"] == 3 and abs(out[("x", "y")]["corr"] - 1.0) < 1e-9
+    assert out[("x", "z")]["n"] == 4 and abs(out[("x", "z")]["corr"] + 1.0) < 1e-9
+    assert out[("x", "c")]["corr"] is None  # zero variance side
+    assert out[("y", "z")]["n"] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pairwise_corr(df, ["x"])
