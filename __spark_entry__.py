@@ -427,6 +427,26 @@ def q_drift_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (engine/layout.py): the
+    (user_id, value) plane quantized to 16 bits per dimension with
+    EXPLICIT bounds and bit-interleaved into the curve position that
+    zorder_write range-partitions on — multi-dimensional data layout
+    for parquet min/max pruning at 100 TB.  Pure codegen shift-or-mask
+    bit math; DuckDB replays the identical spread steps bit-for-bit."""
+    from medea_spark.engine.layout import quantize, zvalue
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qx = quantize("user_id", 0, 2000, 16)
+    qy = quantize("value", 0, 600, 16)
+    return ev.select(
+        "event_id",
+        qx.alias("qx"),
+        qy.alias("qy"),
+        zvalue([qx, qy], 16).alias("zval"),
+    ).orderBy("event_id")
+
+
 def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-diversity profile (checks/stats.py
     categorical_entropy): Shannon entropy of the documents lang and
@@ -1942,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_by_type": q_drift_ks_by_type,
         "drift_wasserstein": q_drift_wasserstein,
         "entropy_profile": q_entropy_profile,
+        "zorder_events": q_zorder_events,
         "corr_lineitem": q_corr_lineitem,
         "time_gaps_events": q_time_gaps_events,
         "volume_anomalies_events": q_volume_anomalies,
@@ -2332,6 +2353,43 @@ def oracle_sql() -> dict[str, str]:
         from e
         group by event_type
         order by event_type
+        """,
+        "zorder_events": """
+        with q as (
+          select event_id,
+                 greatest(least(coalesce(cast(floor((cast(user_id as double) - 0.0)
+                          / 2000.0 * 65536) as bigint), 0), 65535), 0) as qx,
+                 greatest(least(coalesce(cast(floor((cast(value as double) - 0.0)
+                          / 600.0 * 65536) as bigint), 0), 65535), 0) as qy
+          from events
+        ), s1 as (
+          select event_id, qx, qy,
+                 (qx | (qx << 16)) & 281470681808895 as sx,
+                 (qy | (qy << 16)) & 281470681808895 as sy
+          from q
+        ), s2 as (
+          select event_id, qx, qy,
+                 (sx | (sx << 8)) & 71777214294589695 as sx,
+                 (sy | (sy << 8)) & 71777214294589695 as sy
+          from s1
+        ), s3 as (
+          select event_id, qx, qy,
+                 (sx | (sx << 4)) & 1085102592571150095 as sx,
+                 (sy | (sy << 4)) & 1085102592571150095 as sy
+          from s2
+        ), s4 as (
+          select event_id, qx, qy,
+                 (sx | (sx << 2)) & 3689348814741910323 as sx,
+                 (sy | (sy << 2)) & 3689348814741910323 as sy
+          from s3
+        ), s5 as (
+          select event_id, qx, qy,
+                 (sx | (sx << 1)) & 6148914691236517205 as sx,
+                 (sy | (sy << 1)) & 6148914691236517205 as sy
+          from s4
+        )
+        select event_id, qx, qy, (sx | (sy << 1)) as zval
+        from s5 order by event_id
         """,
         "entropy_profile": """
         with lang_c as (
