@@ -427,6 +427,29 @@ def q_drift_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (engine/merge.py): a deterministic revision
+    batch (docs 200-599 with rewritten text) applied to the base
+    snapshot (docs 0-399) — overlap takes the update row, new keys
+    append, one full-outer hash join, no window/sort.  DuckDB replays
+    with anti-join + union."""
+    from medea_spark.engine.merge import merge_upsert
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 400)
+    new_text = F.concat(F.lit("rev2 "), F.upper(F.col("lang")))
+    updates = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 600)).select(
+        "doc_id",
+        new_text.alias("text"),
+        "lang",
+        "source",
+        F.length(new_text).cast("long").alias("n_chars"),
+    )
+    return merge_upsert(base, updates, ["doc_id"], assert_unique=True).orderBy(
+        "doc_id"
+    )
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key (engine/layout.py): the
     (user_id, value) plane quantized to 16 bits per dimension with
@@ -1963,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_wasserstein": q_drift_wasserstein,
         "entropy_profile": q_entropy_profile,
         "zorder_events": q_zorder_events,
+        "merge_upsert_docs": q_merge_upsert_docs,
         "corr_lineitem": q_corr_lineitem,
         "time_gaps_events": q_time_gaps_events,
         "volume_anomalies_events": q_volume_anomalies,
@@ -2353,6 +2377,24 @@ def oracle_sql() -> dict[str, str]:
         from e
         group by event_type
         order by event_type
+        """,
+        "merge_upsert_docs": """
+        with upd as (
+          select doc_id,
+                 'rev2 ' || upper(lang) as text,
+                 lang, source,
+                 cast(length('rev2 ' || upper(lang)) as bigint) as n_chars
+          from documents where doc_id >= 200 and doc_id < 600
+        ), kept as (
+          select b.doc_id, b.text, b.lang, b.source, b.n_chars
+          from documents b
+          where b.doc_id < 400
+            and not exists (select 1 from upd u where u.doc_id = b.doc_id)
+        )
+        select * from kept
+        union all
+        select * from upd
+        order by doc_id
         """,
         "zorder_events": """
         with q as (

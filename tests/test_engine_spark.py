@@ -725,3 +725,31 @@ def test_zorder_write_prunes_vs_single_column_sort(spark, tmp_path):
     # the x-sort's leading-column pruning (a few curve tiles).
     z_box = files_overlapping(zord, {"x": (100, 116), "y": (100, 116)})
     assert z_box <= 6
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates win (including their NULLs — no per-column coalesce),
+    new keys append, base-only keys survive; guards fire on duplicate
+    keys and column-set mismatch."""
+    import pytest as _pytest
+
+    from medea_spark.engine.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n long"
+    )
+    upd = spark.createDataFrame(
+        [(2, None, 99), (4, "d", 40)], "k long, v string, n long"
+    )
+    out = {r["k"]: (r["v"], r["n"]) for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert out == {1: ("a", 10), 2: (None, 99), 3: ("c", 30), 4: ("d", 40)}
+
+    dup = spark.createDataFrame([(2, "x", 1), (2, "y", 2)], "k long, v string, n long")
+    with _pytest.raises(ValueError, match="duplicate key in updates"):
+        merge_upsert(base, dup, ["k"], assert_unique=True)
+
+    bad_cols = spark.createDataFrame([(9, "z")], "k long, v string")
+    with _pytest.raises(ValueError, match="column sets differ"):
+        merge_upsert(base, bad_cols, ["k"])
+    with _pytest.raises(ValueError, match="at least one key"):
+        merge_upsert(base, upd, [])
