@@ -1374,6 +1374,24 @@ def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type").orderBy("event_id")
 
 
+def q_sample_per_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (pipeline/sampling.py
+    sample_per_group): the 5 smallest md5-hash-ranked event_ids of every
+    event_type — the "show me a few examples per class" inspect read.
+    Rank-by-portable-hash, so DuckDB reproduces the exact selected rows
+    AND their ranks (one window, no rand())."""
+    from medea_spark.pipeline import sample_per_group
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    return (
+        sample_per_group(ev, ["event_type"], "event_id", 5)
+        .select("event_type", "event_id", "sample_rank")
+        .orderBy("event_type", "sample_rank")
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (pipeline/sessions.py): per-user
     session summary with 30-minute inactivity gap, all arithmetic in
@@ -2018,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_violation_state": q_repo_violation_state,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
         "stratified_sample_events": q_stratified_sample_events,
+        "sample_per_group_events": q_sample_per_group_events,
         "sessionize_events": q_sessionize_events,
         "temporal_validate_events": q_temporal_validate_events,
         "dispatch_validate": q_dispatch_validate,
@@ -3124,6 +3143,22 @@ def oracle_sql() -> dict[str, str]:
                                             when 'error' then 1.0
                                             else 0.1 end) * 1152921504606846976.0) as bigint)
         order by event_id
+        """,
+        "sample_per_group_events": """
+        with h as (
+            select event_id, event_type,
+                   cast(('0x' || substr(md5('42:' || cast(event_id as varchar)), 1, 15)) as bigint) as hv
+            from events
+        ), r as (
+            select event_type, event_id,
+                   cast(row_number() over (
+                       partition by event_type
+                       order by hv asc, cast(event_id as varchar) asc) as int) as sample_rank
+            from h
+        )
+        select event_type, event_id, sample_rank from r
+        where sample_rank <= 5
+        order by event_type, sample_rank
         """,
         "sessionize_events": """
         with e as (

@@ -13,7 +13,7 @@ contract as the engine's partitioning (engine/partitioning.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Hash space of the md5-portable 60-bit family (dedup._md5_hash64).
@@ -117,3 +117,41 @@ def stratified_sample(
             rate_col
         )
     return df.filter(sample_predicate(F.col(key_col).cast("string"), rate_col, seed))
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column | str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic k-per-group sample — the "show me a few examples
+    of every language / source / violation class" inspect read.
+
+    Selection is rank-by-portable-hash: each row's md5-derived 60-bit
+    hash of ``seed || ':' || key`` orders the group, the k smallest
+    win (hash ties broken by key).  Same contract as every sampler
+    here: no rand(), rerun-stable, reproducible bit-exactly by any
+    engine with md5 — and UNIFORM per group because the hash is
+    uniform on the key.
+
+    Adds ``sample_rank`` (1-based) to the kept rows.
+
+    100-TB shape: one hash exchange on the group columns + a
+    partition-local rank — the same single-window shape as topk; the
+    sampled output is k·|groups| rows.  For heavily-skewed groups at
+    extreme scale, pre-filter with ``sample_predicate`` at a few× the
+    expected rate first, then rank exactly.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not group_cols:
+        raise ValueError("sample_per_group needs at least one group column")
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = _sample_hash(key_col.cast("string"), seed)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), key_col.cast("string").asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

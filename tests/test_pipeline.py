@@ -627,6 +627,37 @@ def test_stratified_sample_rates(spark):
     assert abs(counts["en"] / 10_000 - 0.1) < 0.02
 
 
+def test_sample_per_group_exact_k_and_deterministic(spark):
+    """k rows per group (all rows when the group is smaller), ranks are
+    1..k, the selection is rerun-stable, and a different seed picks a
+    different subset (the hash actually depends on the seed)."""
+    from medea_spark.pipeline import sample_per_group
+
+    df = spark.range(3_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("bigger").alias("g"),
+    ).union(spark.createDataFrame([(100_000 + i, "tiny") for i in range(3)], "k long, g string"))
+    out = sample_per_group(df, ["g"], "k", 5)
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r["g"], []).append((r["sample_rank"], r["k"]))
+    assert sorted(r for r, _ in by_g["big"]) == [1, 2, 3, 4, 5]
+    assert sorted(r for r, _ in by_g["bigger"]) == [1, 2, 3, 4, 5]
+    assert sorted(r for r, _ in by_g["tiny"]) == [1, 2, 3]  # undersized group keeps all
+    again = sample_per_group(df, ["g"], "k", 5).collect()
+    assert {(r["g"], r["sample_rank"], r["k"]) for r in again} == {
+        (g, rank, k) for g, pairs in by_g.items() for rank, k in pairs
+    }
+    other_seed = sample_per_group(df, ["g"], "k", 5, seed=7)
+    assert {(r["g"], r["k"]) for r in other_seed.collect()} != {
+        (g, k) for g, pairs in by_g.items() for _, k in pairs
+    }
+    with pytest.raises(ValueError):
+        sample_per_group(df, ["g"], "k", 0)
+    with pytest.raises(ValueError):
+        sample_per_group(df, [], "k", 5)
+
+
 # --- sessionization ---------------------------------------------------------
 
 
