@@ -1392,6 +1392,40 @@ def q_sample_per_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-frequent line removal (pipeline/lines.py):
+    each document contributes a low-cardinality ``[lang/source]``
+    header line plus its unique text line, packed 5-docs-per-composite
+    — so the headers are boilerplate shared ACROSS composites (they
+    get stripped) while the text lines are unique (they survive, in
+    order).  The reassembled text hashes bit-exactly in DuckDB —
+    proving the distinct-doc count, the flag join, and positional
+    reassembly all replay."""
+    from medea_spark.pipeline import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("["), F.col("lang"), F.lit("/"), F.col("source"), F.lit("]\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    comp = docs.groupBy(
+        F.floor(F.col("doc_id") / 5).cast("int").alias("group_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: x["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return remove_boilerplate_lines(comp, id_col="group_id", min_docs=2).orderBy(
+        "group_id"
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (pipeline/sessions.py): per-user
     session summary with 30-minute inactivity gap, all arithmetic in
@@ -2037,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
         "stratified_sample_events": q_stratified_sample_events,
         "sample_per_group_events": q_sample_per_group_events,
+        "boilerplate_lines": q_boilerplate_lines,
         "sessionize_events": q_sessionize_events,
         "temporal_validate_events": q_temporal_validate_events,
         "dispatch_validate": q_dispatch_validate,
@@ -3159,6 +3194,30 @@ def oracle_sql() -> dict[str, str]:
         select event_type, event_id, sample_rank from r
         where sample_rank <= 5
         order by event_type, sample_rank
+        """,
+        "boilerplate_lines": """
+        with comp as (
+            select cast(floor(doc_id / 5) as int) as group_id,
+                   string_agg('[' || lang || '/' || source || ']' || chr(10) || text,
+                              chr(10) order by doc_id) as text
+            from documents group by 1
+        ), lines as (
+            select group_id, generate_subscripts(l, 1) as pos, unnest(l) as line
+            from (select group_id, string_split(text, chr(10)) as l from comp)
+        ), freq as (
+            select md5(line) as lh from lines
+            group by md5(line)
+            having count(distinct group_id) >= 2
+        ), flagged as (
+            select l.group_id, l.pos, l.line, (f.lh is not null) as bp
+            from lines l left join freq f on md5(l.line) = f.lh
+        )
+        select group_id,
+               coalesce(string_agg(case when bp then null else line end,
+                                   chr(10) order by pos), '') as text,
+               cast(sum(case when bp then 0 else 1 end) as int) as n_lines_kept,
+               cast(sum(case when bp then 1 else 0 end) as int) as n_lines_removed
+        from flagged group by group_id order by group_id
         """,
         "sessionize_events": """
         with e as (

@@ -658,6 +658,52 @@ def test_sample_per_group_exact_k_and_deterministic(spark):
         sample_per_group(df, [], "k", 5)
 
 
+# --- boilerplate line removal ----------------------------------------------
+
+
+def test_remove_boilerplate_lines_hand_case(spark):
+    """The banner line in 3 of 4 docs is stripped everywhere; unique
+    lines survive in original order; an all-boilerplate doc comes back
+    as an empty husk rather than vanishing."""
+    from medea_spark.pipeline import line_doc_frequency, remove_boilerplate_lines
+
+    banner = "(c) example corp - all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nalpha one\nalpha two"),
+            (2, f"beta one\n{banner}\nbeta two"),
+            (3, banner),
+            (4, "gamma solo"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1]["text"] == "alpha one\nalpha two"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_removed"] == 1
+    assert out[2]["text"] == "beta one\nbeta two"
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[4]["text"] == "gamma solo" and out[4]["n_lines_removed"] == 0
+
+    freq = {r["line"]: r["n_docs"] for r in line_doc_frequency(docs).collect()}
+    assert freq[banner] == 3  # distinct docs, not occurrences
+    assert freq["gamma solo"] == 1
+
+
+def test_remove_boilerplate_lines_within_doc_repeat_not_counted_twice(spark):
+    """A line repeated 5x inside ONE doc contributes one distinct-doc
+    count — it is not boilerplate unless other docs carry it too — and
+    min_docs < 2 is rejected (it would strip every line)."""
+    from medea_spark.pipeline import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "\n".join(["echo"] * 5)), (2, "other")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_docs=2).collect()}
+    assert out[1]["text"] == "\n".join(["echo"] * 5)  # survives: only 1 doc has it
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(docs, min_docs=1)
+
+
 # --- sessionization ---------------------------------------------------------
 
 
