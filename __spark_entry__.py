@@ -312,6 +312,49 @@ def q_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization (streaming.session_counts):
+    the events table replays as a bounded file stream (availableNow,
+    2 files per micro-batch, rows arriving in arbitrary file order) and
+    the native session_window state store must MERGE session fragments
+    across micro-batches into exactly the sessions a batch engine
+    computes.  Gate: final complete-mode result == DuckDB's gap
+    sessionization under the diff > gap rule (the boundary rule Spark's
+    session merge implements — unit-verified, same as batch)."""
+    import uuid
+
+    from medea_spark.streaming import session_counts
+
+    prepared = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    path = f"{_STAGE_ROOT}/stream_sessions_input"
+    prepared.repartition(8).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(prepared.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    # The replay files are round-robin shards, so each micro-batch spans
+    # the table's FULL 30-day range — the watermark must exceed that
+    # disorder horizon or later batches' older rows are dropped as late
+    # (a real stream's horizon is its actual arrival disorder).
+    sessions = session_counts(
+        stream, key_col="user_id", ts_col="ts", gap="30 minutes", watermark="31 days"
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start_us")
+
+
 def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential integrity via broadcast anti-join (C11)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2073,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group_events": q_sample_per_group_events,
         "boilerplate_lines": q_boilerplate_lines,
         "sessionize_events": q_sessionize_events,
+        "stream_sessions": q_stream_sessions,
         "temporal_validate_events": q_temporal_validate_events,
         "dispatch_validate": q_dispatch_validate,
         "dispatch_census": q_dispatch_census,
@@ -3238,6 +3282,27 @@ def oracle_sql() -> dict[str, str]:
                cast(floor((max(tu) - min(tu)) / 1000000.0) as bigint) as duration_sec
         from sess group by user_id, session_idx
         order by user_id, session_idx
+        """,
+        "stream_sessions": """
+        with e as (
+            select user_id, epoch_us(ts) as tu from events
+        ), marks as (
+            select *, case when lag(tu) over (partition by user_id order by tu) is null
+                            or tu - lag(tu) over (partition by user_id order by tu)
+                               > 1800000000
+                           then 1 else 0 end as ns
+            from e
+        ), sess as (
+            select *, sum(ns) over (partition by user_id order by tu
+                                    rows unbounded preceding) as sid
+            from marks
+        )
+        select user_id,
+               min(tu) as session_start_us,
+               max(tu) + 1800000000 as session_end_us,
+               count(*) as n_events
+        from sess group by user_id, sid
+        order by user_id, session_start_us
         """,
         "temporal_validate_events": f"""
         with mutated as (

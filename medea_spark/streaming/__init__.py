@@ -7,6 +7,7 @@ from medea_spark.streaming.validate_stream import (
     dispatch_stream,
     file_stream_source,
     repo_violation_state,
+    session_counts,
     validate_stream,
     windowed_violation_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "dispatch_stream",
     "file_stream_source",
     "repo_violation_state",
+    "session_counts",
     "validate_stream",
     "windowed_violation_counts",
 ]

@@ -167,6 +167,47 @@ def dedup_stream(
     )
 
 
+def session_counts(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessionization via the native
+    ``session_window`` aggregation: per (key, session) — epoch-µs
+    session bounds and the event count, with sessions MERGED across
+    micro-batches by the state store (an early fragment and a late
+    continuation of the same session collapse into one row).
+
+    Boundary semantics (unit-verified, not assumed): Spark merges a
+    new event into a session when it starts AT or before the session's
+    current end — an event exactly ``gap`` after its predecessor still
+    merges, i.e. a new session opens only when ``diff > gap``.  That
+    is the SAME boundary rule as the batch ``pipeline/sessions.py``
+    sessionizer, so streaming and batch sessions agree everywhere.
+    ``session_end`` is last-event-ts + gap, the engine's window end.
+
+    State is bounded by the watermark horizon: a session with no event
+    for ``watermark`` can never merge again and is evicted (append
+    mode) or frozen (complete-mode replays).
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("session"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col("session.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session.end")).alias("session_end_us"),
+            F.col("n_events"),
+        )
+    )
+
+
 def file_stream_source(
     spark: Any,
     path: str,

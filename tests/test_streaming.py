@@ -308,3 +308,62 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
     out = spark.table("dedup_out")
     assert out.count() == 200
     assert out.select("event_id").distinct().count() == 200
+
+
+def test_session_counts_merges_across_batches_and_gap_boundary(spark, tmp_path):
+    """Sessionization on a stream: fragments of one session arriving in
+    DIFFERENT micro-batches (even out of order) merge in the state
+    store into a single session row; an event exactly gap after its
+    predecessor still MERGES (Spark's session merge is end-inclusive:
+    a new session opens only when diff > gap — the same boundary rule
+    as the batch sessionizer, pinned here so an engine change would be
+    caught)."""
+    from datetime import datetime, timedelta
+
+    from medea_spark.streaming import session_counts
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    gap = timedelta(minutes=30)
+    rows = [
+        # user A: one session of 3 events, 10 min apart — but written so
+        # the MIDDLE event lands in a separate file/batch (bridge test:
+        # the two outer fragments are > gap apart until it arrives).
+        ("a", t0),
+        ("a", t0 + timedelta(minutes=40)),   # bridge (separate batch)
+        ("a", t0 + timedelta(minutes=20)),
+        # user B: second event exactly AT the gap -> still merges.
+        ("b", t0),
+        ("b", t0 + gap),
+        # user C: second event 1 s PAST the gap -> new session.
+        ("c", t0),
+        ("c", t0 + gap + timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    src = str(tmp_path / "sess_src")
+    # one row per file => 7 micro-batches at maxFilesPerTrigger=1
+    df.repartition(7).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sorted(
+        (r["user_id"], r["n_events"], r["session_end_us"] - r["session_start_us"])
+        for r in spark.table("sess_out").collect()
+    )
+    gap_us = 30 * 60 * 1_000_000
+    assert out == [
+        ("a", 3, 40 * 60 * 1_000_000 + gap_us),  # merged via the bridge event
+        ("b", 2, 2 * gap_us),                    # exact-gap boundary merges
+        ("c", 1, gap_us),                        # 1 s past the gap: splits
+        ("c", 1, gap_us),
+    ]
