@@ -1435,6 +1435,23 @@ def q_sample_per_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (pipeline/sampling.py
+    weighted_sample): each document keeps with probability
+    min(1, n_chars/400) — longer docs proportionally likelier, >=400
+    chars kept with certainty.  The md5-hash predicate makes the exact
+    selected row set engine-reproducible (DuckDB replays the IEEE rate
+    arithmetic and the 60-bit threshold bit-exactly)."""
+    from medea_spark.pipeline import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        weighted_sample(docs, "doc_id", "n_chars", scale=1.0 / 400.0)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-frequent line removal (pipeline/lines.py):
     each document contributes a low-cardinality ``[lang/source]``
@@ -2115,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_events": q_stratified_sample_events,
         "sample_per_group_events": q_sample_per_group_events,
         "boilerplate_lines": q_boilerplate_lines,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "sessionize_events": q_sessionize_events,
         "stream_sessions": q_stream_sessions,
         "temporal_validate_events": q_temporal_validate_events,
@@ -3238,6 +3256,13 @@ def oracle_sql() -> dict[str, str]:
         select event_type, event_id, sample_rank from r
         where sample_rank <= 5
         order by event_type, sample_rank
+        """,
+        "weighted_sample_docs": """
+        select doc_id, n_chars from documents
+        where cast(('0x' || substr(md5('42:' || cast(doc_id as varchar)), 1, 15)) as bigint)
+              < cast(floor(least(1.0, greatest(0.0, n_chars * (1.0 / 400.0)))
+                           * 1152921504606846976.0) as bigint)
+        order by doc_id
         """,
         "boilerplate_lines": """
         with comp as (

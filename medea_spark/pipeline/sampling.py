@@ -119,6 +119,34 @@ def stratified_sample(
     return df.filter(sample_predicate(F.col(key_col).cast("string"), rate_col, seed))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column | str,
+    scale: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted (Poisson-style) sampling: each row keeps
+    with probability ``min(1, weight · scale)`` — quality-weighted
+    corpus thinning where a doc's score IS its sampling propensity.
+
+    Same machinery as every sampler here (md5-portable hash predicate,
+    pure codegen, pushes toward the scan), so the selected row set is
+    engine-reproducible bit-exactly.  NULL or negative weights keep
+    nothing (rate floors at 0); ``weight·scale ≥ 1`` keeps the row with
+    certainty.  The expected kept-token mass is ``scale · Σ weight`` —
+    pick ``scale`` from the aggregate the way :func:`mixture_rates`
+    does for strata.
+    """
+    if scale < 0:
+        raise ValueError(f"scale must be >= 0, got {scale}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    rate = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.coalesce(w, F.lit(0.0)) * F.lit(float(scale)))
+    )
+    return df.filter(sample_predicate(F.col(key_col).cast("string"), rate, seed))
+
+
 def sample_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -658,6 +658,32 @@ def test_sample_per_group_exact_k_and_deterministic(spark):
         sample_per_group(df, [], "k", 5)
 
 
+def test_weighted_sample_rate_propensity_and_edges(spark):
+    """Keep-rate tracks the weight; weight·scale >= 1 keeps with
+    certainty; NULL/negative weights keep nothing; scale < 0 raises."""
+    from medea_spark.pipeline import weighted_sample
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 == 0, 10.0)
+        .when(F.col("id") % 4 == 1, 40.0)
+        .when(F.col("id") % 4 == 2, F.lit(None).cast("double"))
+        .otherwise(-5.0)
+        .alias("w"),
+    )
+    out = weighted_sample(df, "k", "w", scale=0.01)  # rates 0.1 / 0.4 / 0 / 0
+    kept = {r.k % 4: 0 for r in []}
+    for r in out.groupBy((F.col("k") % 4).alias("m")).count().collect():
+        kept[r["m"]] = r["count"]
+    assert abs(kept.get(0, 0) / 10_000 - 0.1) < 0.02
+    assert abs(kept.get(1, 0) / 10_000 - 0.4) < 0.02
+    assert kept.get(2, 0) == 0 and kept.get(3, 0) == 0
+    certain = weighted_sample(df.filter(F.col("w") == 40.0), "k", "w", scale=0.025)
+    assert certain.count() == 10_000  # 40 * 0.025 = 1.0 -> certainty
+    with pytest.raises(ValueError):
+        weighted_sample(df, "k", "w", scale=-0.1)
+
+
 # --- boilerplate line removal ----------------------------------------------
 
 
