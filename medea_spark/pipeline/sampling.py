@@ -137,6 +137,10 @@ def weighted_sample(
     certainty.  The expected kept-token mass is ``scale · Σ weight`` —
     pick ``scale`` from the aggregate the way :func:`mixture_rates`
     does for strata.
+
+    A NaN weight keeps the row with certainty in BOTH engines (Spark
+    and DuckDB order NaN above every double, so ``least(1, …)`` picks
+    1) — screen NaNs out upstream if that is not the intent.
     """
     if scale < 0:
         raise ValueError(f"scale must be >= 0, got {scale}")
@@ -176,6 +180,11 @@ def sample_per_group(
         raise ValueError(f"k must be positive, got {k}")
     if not group_cols:
         raise ValueError("sample_per_group needs at least one group column")
+    if "sample_rank" in df.columns:
+        raise ValueError(
+            "input already has a 'sample_rank' column — rename it first "
+            "(silent overwrite is the asof_join collision bug class)"
+        )
     key_col = F.col(key) if isinstance(key, str) else key
     h = _sample_hash(key_col.cast("string"), seed)
     w = Window.partitionBy(*group_cols).orderBy(h.asc(), key_col.cast("string").asc())

@@ -656,6 +656,8 @@ def test_sample_per_group_exact_k_and_deterministic(spark):
         sample_per_group(df, ["g"], "k", 0)
     with pytest.raises(ValueError):
         sample_per_group(df, [], "k", 5)
+    with pytest.raises(ValueError):  # output-name collision is loud
+        sample_per_group(df.withColumn("sample_rank", F.lit(1)), ["g"], "k", 5)
 
 
 def test_weighted_sample_rate_propensity_and_edges(spark):
@@ -728,6 +730,10 @@ def test_remove_boilerplate_lines_within_doc_repeat_not_counted_twice(spark):
     assert out[1]["text"] == "\n".join(["echo"] * 5)  # survives: only 1 doc has it
     with pytest.raises(ValueError):
         remove_boilerplate_lines(docs, min_docs=1)
+    with pytest.raises(ValueError):  # reserved-name collision is loud
+        remove_boilerplate_lines(
+            docs.withColumnRenamed("doc_id", "n_lines_kept"), id_col="n_lines_kept"
+        )
 
 
 # --- sessionization ---------------------------------------------------------
