@@ -717,6 +717,42 @@ def test_remove_boilerplate_lines_hand_case(spark):
     assert freq["gamma solo"] == 1
 
 
+def test_remove_boilerplate_lines_broadcast_strategy_differential(spark):
+    """strategy='broadcast' (content never shuffles: hash-pair count +
+    broadcast set + one Arrow map stage) produces EXACTLY the join
+    strategy's output, including empty husks; the broadcast-set cap is
+    a loud error, not a silent fallback."""
+    from medea_spark.pipeline import remove_boilerplate_lines
+
+    banner = "(c) example corp - all rights reserved"
+    nav = "home | about | contact"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nalpha one\n{nav}\nalpha two"),
+            (2, f"beta one\n{banner}\n{nav}"),
+            (3, f"{banner}\n{nav}"),
+            (4, "gamma solo"),
+            (5, f"{nav}\ndelta\n{nav}\n{banner}"),
+        ],
+        "doc_id int, text string",
+    )
+    want = {
+        tuple(r)
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    got = {
+        tuple(r)
+        for r in remove_boilerplate_lines(docs, min_docs=3, strategy="broadcast").collect()
+    }
+    assert got == want and len(got) == 5
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(
+            docs, min_docs=3, strategy="broadcast", max_broadcast_lines=1
+        ).collect()
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(docs, strategy="nope")
+
+
 def test_remove_boilerplate_lines_within_doc_repeat_not_counted_twice(spark):
     """A line repeated 5x inside ONE doc contributes one distinct-doc
     count — it is not boilerplate unless other docs carry it too — and
