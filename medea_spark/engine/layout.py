@@ -20,8 +20,16 @@ oracle replays it bit-for-bit).  The bit spread uses the classic
 shift-or-mask doubling trick — ~20 long ops per dimension, no UDF,
 no CaseWhen nesting (CLAUDE.md: guards multiply codegen compile).
 
-The one shuffle is the ``repartitionByRange`` that the write REQUIRES
-to cluster at all; within partitions it's a local sort.
+The one shuffle is the exchange that the write REQUIRES to cluster at
+all; within partitions it's a local sort.  The exchange key is an
+EQUAL-WIDTH z-bucket (``z div ceil(2^zbits / num_files)``), hashed to
+a partition — NOT ``repartitionByRange``, whose RangePartitioner
+derives its reservoir-sample seed from the RDD id, making file
+boundaries run-dependent and breaking the determinism contract above.
+The trade: a partition may hold several non-adjacent whole buckets
+(hash collisions) and skewed data can unbalance buckets, but every
+partition still sorts by z, so parquet ROW-GROUP min/max stay tight
+and pruning power is preserved (the footer-stats test measures it).
 """
 
 from __future__ import annotations
@@ -101,13 +109,18 @@ def zorder_write(
     """Write ``df`` as parquet clustered on the Z-curve of the ``by``
     columns — each entry (column, lo, hi) supplies the quantization
     bounds.  ``num_files`` output partitions = files; pick it so a
-    partition fits executor memory at the target scale."""
+    partition fits executor memory at the target scale.  The bucket →
+    partition assignment is pure deterministic bit math (no sampling),
+    so rewriting the same input reproduces the same files."""
+    zbits = len(by) * bits
+    bucket_width = -((1 << zbits) // -num_files)  # ceil(2^zbits / n)
     z = zvalue([quantize(c, lo, hi, bits) for c, lo, hi in by], bits)
     (
         df.withColumn("_z", z)
-        .repartitionByRange(num_files, F.col("_z"))
+        .withColumn("_zb", F.expr(f"_z div {bucket_width}"))
+        .repartition(num_files, F.col("_zb"))
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_zb")
         .write.mode(mode)
         .parquet(path)
     )

@@ -12,9 +12,11 @@ Semantics of :func:`merge_upsert`:
 * a key present in both sides takes the UPDATE row (updates win),
 * keys only in base / only in updates pass through,
 * each side must be unique per key — duplicates within a side make
-  "which row wins" undefined, so ``assert_unique=True`` (opt-in, one
-  extra aggregate on the update side — keep it on in tests, off in
-  production where the contract is already enforced upstream).
+  "which row wins" undefined, so ``assert_unique=True`` (opt-in; it
+  aggregates BOTH sides, which on the base side is a full extra
+  shuffle over the big table plus a blocking collect — keep it on in
+  tests, off in production where the contract is already enforced
+  upstream).
 
 100-TB shape: ONE shuffle — both sides hash-partition on the key for
 the full-outer join; no window, no sort.  The base side is the big
@@ -44,6 +46,14 @@ def merge_upsert(
     if set(base.columns) != set(updates.columns):
         extra = set(updates.columns) ^ set(base.columns)
         raise ValueError(f"column sets differ between base and updates: {sorted(extra)}")
+    clashes = [
+        c for c in base.columns if c == "_has_u" or c.startswith("_u_")
+    ]
+    if clashes:
+        raise ValueError(
+            f"column names {clashes} collide with merge_upsert's internal "
+            f"markers ('_has_u', '_u_<col>') — rename them first"
+        )
     if assert_unique:
         for side, df in (("base", base), ("updates", updates)):
             dup = (

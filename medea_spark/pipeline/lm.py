@@ -98,7 +98,19 @@ def perplexity(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    internal = {"w", "w1", "w2", "c_bi", "c_uni", "p", "logp",
+                "n_bigrams", "total_logprob"}
+    if id_col in internal:
+        raise ValueError(
+            f"id_col {id_col!r} collides with the scorer's internal "
+            f"names {sorted(internal)} — rename it first"
+        )
     # V = |vocab| + 1: a tiny driver-side aggregate read, not row data.
+    # persist() first: the count() and the scoring join below both
+    # consume this relation, and an unpersisted unigram_counts(docs)
+    # argument would re-run the corpus-wide explode+hash-agg twice
+    # (the CLAUDE.md unpersisted-consumer class).  Vocab-sized — cheap.
+    unigrams = unigrams.persist()
     vocab_v = unigrams.count() + 1
     uni = unigrams.select("w", "c_uni")
     bi = bigrams.select("w1", "w2", "c_bi")

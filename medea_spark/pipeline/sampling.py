@@ -166,7 +166,11 @@ def sample_per_group(
     win (hash ties broken by key).  Same contract as every sampler
     here: no rand(), rerun-stable, reproducible bit-exactly by any
     engine with md5 — and UNIFORM per group because the hash is
-    uniform on the key.
+    uniform on the key.  Rerun-stability requires the key to uniquely
+    identify rows within its group (the hash of the key IS the row's
+    identity, exactly as in :func:`sample_predicate`): rows sharing a
+    key value hash identically, so which of them takes which rank is
+    engine/partition-order dependent.
 
     Adds ``sample_rank`` (1-based) to the kept rows.
 

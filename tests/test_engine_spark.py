@@ -727,6 +727,37 @@ def test_zorder_write_prunes_vs_single_column_sort(spark, tmp_path):
     assert z_box <= 6
 
 
+def test_zorder_write_rewrite_is_deterministic(spark, tmp_path):
+    """Rewriting the SAME input produces the SAME set of file contents
+    (the checkpoint-resume contract): bucket assignment is pure bit
+    math, not RangePartitioner reservoir sampling whose seed derives
+    from the run-dependent RDD id."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from medea_spark.engine.layout import zorder_write
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 199).alias("x"),
+        ((F.col("id") * 31) % 251).alias("y"),
+    )
+
+    def content_multiset(path):
+        sigs = []
+        for f in pathlib.Path(path).glob("*.parquet"):
+            t = pq.read_table(f).to_pandas().sort_values(["x", "y"])
+            sigs.append(tuple(map(tuple, t.itertuples(index=False))))
+        return sorted(sigs)
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    zorder_write(df, a, by=[("x", 0, 200), ("y", 0, 256)], bits=8, num_files=8)
+    zorder_write(df, b, by=[("x", 0, 200), ("y", 0, 256)], bits=8, num_files=8)
+    sa, sb = content_multiset(a), content_multiset(b)
+    assert sa == sb and len(sa) > 1
+
+
 def test_merge_upsert_semantics(spark):
     """Updates win (including their NULLs — no per-column coalesce),
     new keys append, base-only keys survive; guards fire on duplicate
