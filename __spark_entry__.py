@@ -1264,6 +1264,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_INDEX_PATH = f"{_STAGE_ROOT}/lsh_band_index"
+
+
+def q_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED LSH band index — the shape
+    a 100 TB ingest actually runs: the historical corpus is represented
+    only by its (doc_id, band, key) index parquet (written once, here,
+    and re-read so Spark joins the persisted bytes); the new batch
+    (two twins per selected original, disjoint id namespaces) shingles
+    locally and equi-joins the index.  Each twin must surface its
+    original as new_old and its sibling twin as new_new.  DuckDB
+    rebuilds both band relations from the documents table with the
+    same md5-portable hash family and replays both joins."""
+    from medea_spark.pipeline import incremental_lsh_candidates, minhash_band_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 10 == 0)
+    minhash_band_index(history, "doc_id", "text", n=3, k=8, bands=4).write.mode(
+        "overwrite"
+    ).parquet(_LSH_INDEX_PATH)
+    originals = docs.filter(F.col("doc_id") % 20 == 0)
+    new_batch = originals.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        originals.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    index = spark.read.parquet(_LSH_INDEX_PATH)
+    return incremental_lsh_candidates(
+        new_batch, index, "doc_id", "text", n=3, k=8, bands=4
+    ).orderBy("new_doc", "match_doc", "kind")
+
+
 _STREAM_STATE_INPUT = f"{_STAGE_ROOT}/stream_state_input"
 
 
@@ -2127,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_lsh_pairs": q_incremental_lsh_pairs,
         "repo_violation_state": q_repo_violation_state,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
         "stratified_sample_events": q_stratified_sample_events,
@@ -3188,6 +3221,67 @@ def oracle_sql() -> dict[str, str]:
         from banded x join banded y using (band, key)
         where x.doc_id < y.doc_id
         order by doc_a, doc_b
+        """,
+        # Rebuilds the history band index AND the new batch's bands
+        # from the documents table with the identical md5 hash family,
+        # then replays the incremental new-vs-index and new-vs-new
+        # band joins.  Sides never mix: history rows only ever appear
+        # as match_doc of a new_old pair.
+        "incremental_lsh_pairs": r"""
+        with hist as (
+            select doc_id, text from documents where doc_id % 10 = 0
+        ), newb as (
+            select doc_id + 100000 as doc_id, text
+            from documents where doc_id % 20 = 0
+            union all
+            select doc_id + 200000, text
+            from documents where doc_id % 20 = 0
+        ), alldocs as (
+            select 'h' as side, doc_id, text from hist
+            union all
+            select 'n', doc_id, text from newb
+        ), words as (
+            select side, doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') as w
+            from alldocs
+        ), sh as (
+            select distinct side, doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                         i -> array_to_string(w[i:i+2], ' '))) as shingle
+            from words
+        ), sig as (
+            select side, doc_id,
+                   min(cast(('0x' || substr(md5('0 ' || shingle), 1, 15)) as bigint)) as h0,
+                   min(cast(('0x' || substr(md5('1 ' || shingle), 1, 15)) as bigint)) as h1,
+                   min(cast(('0x' || substr(md5('2 ' || shingle), 1, 15)) as bigint)) as h2,
+                   min(cast(('0x' || substr(md5('3 ' || shingle), 1, 15)) as bigint)) as h3,
+                   min(cast(('0x' || substr(md5('4 ' || shingle), 1, 15)) as bigint)) as h4,
+                   min(cast(('0x' || substr(md5('5 ' || shingle), 1, 15)) as bigint)) as h5,
+                   min(cast(('0x' || substr(md5('6 ' || shingle), 1, 15)) as bigint)) as h6,
+                   min(cast(('0x' || substr(md5('7 ' || shingle), 1, 15)) as bigint)) as h7
+            from sh group by side, doc_id
+        ), banded as (
+            select side, doc_id, 0 as band,
+                   md5(cast(h0 as varchar) || '_' || cast(h1 as varchar)) as key from sig
+            union all
+            select side, doc_id, 1,
+                   md5(cast(h2 as varchar) || '_' || cast(h3 as varchar)) from sig
+            union all
+            select side, doc_id, 2,
+                   md5(cast(h4 as varchar) || '_' || cast(h5 as varchar)) from sig
+            union all
+            select side, doc_id, 3,
+                   md5(cast(h6 as varchar) || '_' || cast(h7 as varchar)) from sig
+        )
+        select distinct x.doc_id as new_doc, y.doc_id as match_doc,
+               'new_old' as kind
+        from banded x join banded y using (band, key)
+        where x.side = 'n' and y.side = 'h'
+        union
+        select distinct x.doc_id, y.doc_id, 'new_new'
+        from banded x join banded y using (band, key)
+        where x.side = 'n' and y.side = 'n' and x.doc_id < y.doc_id
+        order by new_doc, match_doc, kind
         """,
         "repo_violation_state": _ORACLE_EVENTS_CTE
         + """

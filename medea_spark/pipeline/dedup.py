@@ -220,7 +220,7 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_band_index(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -228,8 +228,18 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band
-    (band key = md5 of the band's concatenated min-hashes)."""
+    """The persistable LSH index relation: ``(doc_id, band, key)``, one
+    row per document per band (band key = md5 of the band's
+    concatenated min-hashes).
+
+    This is the unit of INCREMENTAL dedup at 100 TB: compute it once
+    per ingested batch, append it to a parquet/bucketed index table,
+    and new batches join their (tiny) band relation against it —
+    the historical corpus text is never re-read and never re-shingled.
+    ``bucketBy(bands*B, "key")`` on the saved table kills even the
+    index-side exchange of that join (CLAUDE.md: bucket metadata
+    survives only saveAsTable).
+    """
     assert k % bands == 0
     rows_per_band = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k)
@@ -242,9 +252,22 @@ def minhash_lsh_candidates(
                 F.md5(F.concat_ws("_", *parts)).alias("key"),
             )
         )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band
+    (band key = md5 of the band's concatenated min-hashes)."""
+    banded = minhash_band_index(df, id_col, text_col, n, k, bands)
     return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
@@ -254,6 +277,64 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    include_new_new: bool = True,
+) -> DataFrame:
+    """Near-dup candidates for a NEW batch against a PERSISTED band
+    index (``minhash_band_index`` output: doc_id, band, key), without
+    touching historical text.
+
+    Returns ``(new_doc, match_doc, kind)`` where kind is ``'new_old'``
+    (matched an indexed document) or ``'new_new'`` (two documents of
+    this batch match each other; emitted once with new_doc < match_doc).
+
+    Scale shape: the only full-corpus artifact read is the band index —
+    ~``bands`` small rows per historical doc, no text.  The new batch
+    shingles/hashes locally (one explode + one groupBy over the BATCH),
+    and both joins are band-key equi-joins.  With the index saved via
+    ``bucketBy(B, "key")`` the new-old join shuffles only the new
+    side; either way nothing is quadratic beyond a shared band's
+    posting list.  Index ids are assumed disjoint from batch ids
+    (enforce upstream with an id namespace, as any append-only ingest
+    does); a doc indexed AND re-ingested matches itself as new_old.
+    """
+    if set(index.columns) != {"doc_id", "band", "key"}:
+        raise ValueError(
+            f"index must be a minhash_band_index relation "
+            f"(doc_id, band, key); got {sorted(index.columns)}"
+        )
+    new_banded = minhash_band_index(new_docs, id_col, text_col, n, k, bands)
+    new_old = (
+        new_banded.alias("x")
+        .join(index.alias("y"), ["band", "key"])
+        .select(
+            F.col("x.doc_id").alias("new_doc"),
+            F.col("y.doc_id").alias("match_doc"),
+            F.lit("new_old").alias("kind"),
+        )
+    )
+    if not include_new_new:
+        return new_old.distinct()
+    new_new = (
+        new_banded.alias("x")
+        .join(new_banded.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("new_doc"),
+            F.col("y.doc_id").alias("match_doc"),
+            F.lit("new_new").alias("kind"),
+        )
+    )
+    return new_old.unionByName(new_new).distinct()
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 — the engine-portable hash width

@@ -188,6 +188,49 @@ def test_minhash_signature_determinism(docs):
     assert a == b
 
 
+def test_incremental_lsh_matches_batch_candidates(docs):
+    # Splitting the corpus into history + new batch and joining the new
+    # bands against the history's PERSISTED index must recover exactly
+    # the batch-mode candidate pairs that straddle the split (new_old)
+    # or live inside the batch (new_new) — no pair gained, none lost.
+    from medea_spark.pipeline import incremental_lsh_candidates, minhash_band_index
+
+    history = docs.filter(F.col("doc_id") < 100000)
+    new_batch = docs.filter(F.col("doc_id") >= 100000)
+    index = minhash_band_index(history, "doc_id", "text", k=8, bands=4)
+    got = {
+        (r["new_doc"], r["match_doc"], r["kind"])
+        for r in incremental_lsh_candidates(
+            new_batch, index, "doc_id", "text", k=8, bands=4
+        ).collect()
+    }
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text", k=8, bands=4).collect()
+    }
+    want = {
+        (b, a, "new_old") for a, b in batch if a < 100000 <= b
+    } | {
+        (a, b, "new_new") for a, b in batch if a >= 100000 and b >= 100000
+    }
+    assert got == want
+    # Exact twins are guaranteed new_old hits of their original.
+    originals = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    assert {(d + 100000, d, "new_old") for d in originals} <= got
+
+
+def test_incremental_lsh_rejects_wrong_index_shape(docs):
+    from medea_spark.pipeline import incremental_lsh_candidates
+
+    with pytest.raises(ValueError, match="minhash_band_index"):
+        incremental_lsh_candidates(docs, docs, "doc_id", "text")
+
+
 def test_simhash_exact_dups_collide(docs):
     groups = simhash_duplicate_groups(docs, "doc_id", "text")
     assert groups.count() > 0
