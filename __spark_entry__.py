@@ -1296,6 +1296,24 @@ def q_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_doc", "match_doc", "kind")
 
 
+def q_shard_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (pipeline/sharding.py): documents
+    spread across 8 deterministic md5-hash packing domains, each
+    packed greedily in id order under a 2000-token budget.  No global
+    sequence — one hash exchange + per-bucket windows, the layout a
+    100 TB training-output writer partitions by.  DuckDB replays the
+    bucket hash, exclusive running sum, and dense shard numbering
+    bit-exactly."""
+    from medea_spark.pipeline import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_shards(docs, "doc_id", "n_tokens", shard_tokens=2000, num_buckets=8)
+    return packed.select("doc_id", "n_tokens", "bucket", "shard_seq").orderBy("doc_id")
+
+
 _STREAM_STATE_INPUT = f"{_STAGE_ROOT}/stream_state_input"
 
 
@@ -2160,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_lsh_pairs": q_incremental_lsh_pairs,
+        "shard_pack_docs": q_shard_pack_docs,
         "repo_violation_state": q_repo_violation_state,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
         "stratified_sample_events": q_stratified_sample_events,
@@ -3282,6 +3301,36 @@ def oracle_sql() -> dict[str, str]:
         from banded x join banded y using (band, key)
         where x.side = 'n' and y.side = 'n' and x.doc_id < y.doc_id
         order by new_doc, match_doc, kind
+        """,
+        # Same md5-60-bit bucket hash, exclusive running sum, and
+        # dense re-numbering as pack_shards.  Integer division is NOT
+        # used anywhere (DuckDB's double→int cast rounds half-even;
+        # floor(double) is the cross-engine-identical form).
+        "shard_pack_docs": r"""
+        with base as (
+            select doc_id,
+                   cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+                       as n_tokens,
+                   cast(cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))
+                             as bigint) % 8 as int) as bucket
+            from documents
+        ), runsum as (
+            select doc_id, n_tokens, bucket,
+                   coalesce(sum(n_tokens) over (
+                       partition by bucket order by doc_id
+                       rows between unbounded preceding and 1 preceding
+                   ), 0) as run_before
+            from base
+        ), raw as (
+            select doc_id, n_tokens, bucket,
+                   cast(floor(run_before / 2000) as bigint) as raw_shard
+            from runsum
+        )
+        select doc_id, n_tokens, bucket,
+               dense_rank() over (partition by bucket order by raw_shard)
+                   - 1 as shard_seq
+        from raw
+        order by doc_id
         """,
         "repo_violation_state": _ORACLE_EVENTS_CTE
         + """

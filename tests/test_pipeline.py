@@ -239,6 +239,62 @@ def test_simhash_exact_dups_collide(docs):
     assert vals[0] == vals[100000]
 
 
+# --- shard packing ----------------------------------------------------------
+
+
+def test_pack_shards_budget_and_density(spark):
+    from medea_spark.pipeline import pack_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 * 17 + 3).alias("n_tokens")
+    )
+    rows = pack_shards(df, "doc_id", "n_tokens", shard_tokens=300, num_buckets=4).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault((r["bucket"], r["shard_seq"]), []).append(r)
+    for (bucket, _), docs in by_shard.items():
+        total = sum(r["n_tokens"] for r in docs)
+        last = max(docs, key=lambda r: r["doc_id"])
+        # Greedy-with-overflow: budget can only be exceeded by the
+        # shard's LAST document.
+        assert total - last["n_tokens"] < 300, (bucket, total)
+    # Dense per-bucket shard numbering, starting at 0.
+    for b in {r["bucket"] for r in rows}:
+        seqs = sorted({s for (bb, s) in by_shard if bb == b})
+        assert seqs == list(range(len(seqs)))
+
+
+def test_pack_shards_oversized_doc_and_determinism(spark):
+    from medea_spark.pipeline import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, 5000 if i == 3 else 40) for i in range(10)], "doc_id: long, n_tokens: long"
+    )
+    packed = pack_shards(df, "doc_id", "n_tokens", shard_tokens=100, num_buckets=1)
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    # The oversized doc shares its shard only with docs packed BEFORE
+    # it crossed the budget; everything after starts a new shard.
+    giant_shard = rows[3]["shard_seq"]
+    after = [r for r in rows.values() if r["doc_id"] > 3]
+    assert all(r["shard_seq"] > giant_shard for r in after)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, pack_shards(df, "doc_id", "n_tokens", 100, 1).collect()))
+    assert a == b
+
+
+def test_pack_shards_guards(spark):
+    from medea_spark.pipeline import pack_shards
+
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens"),
+        F.lit(1).alias("bucket"),
+    )
+    with pytest.raises(ValueError, match="reserves"):
+        pack_shards(df, "doc_id", "n_tokens", 100)
+    with pytest.raises(ValueError, match="positive"):
+        pack_shards(df.drop("bucket"), "doc_id", "n_tokens", 0)
+
+
 # --- similarity -------------------------------------------------------------
 
 
