@@ -236,9 +236,12 @@ def minhash_band_index(
     per ingested batch, append it to a parquet/bucketed index table,
     and new batches join their (tiny) band relation against it —
     the historical corpus text is never re-read and never re-shingled.
-    ``bucketBy(bands*B, "key")`` on the saved table kills even the
-    index-side exchange of that join (CLAUDE.md: bucket metadata
-    survives only saveAsTable).
+    Saving via ``bucketBy(B, "band", "key")`` (BOTH join keys — Spark
+    requires all cluster keys for co-partitioning, so bucketing on
+    key alone still exchanges) kills the index-side exchange of that
+    join whenever the index is too big to broadcast, which at scale
+    it always is; bucket metadata survives only saveAsTable
+    (plan-asserted in test_incremental_index_bucketing_drops_exchange).
     """
     assert k % bands == 0
     rows_per_band = k // bands

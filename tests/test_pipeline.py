@@ -231,6 +231,50 @@ def test_incremental_lsh_rejects_wrong_index_shape(docs):
         incremental_lsh_candidates(docs, docs, "doc_id", "text")
 
 
+def test_incremental_index_bucketing_drops_exchange(spark, docs):
+    """The 100-TB claim in minhash_band_index's docstring, plan-
+    asserted: with broadcast off (a 100-TB index never broadcasts),
+    an index saved bucketed on BOTH join keys (band, key) joins with
+    exactly one exchange fewer than the same index as plain parquet —
+    the index side's.  Bucket metadata only survives saveAsTable."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from medea_spark.engine import write_bucketed
+    from medea_spark.pipeline import incremental_lsh_candidates, minhash_band_index
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("drop table if exists bt_lsh_index")
+    shutil.rmtree(f"{warehouse}/bt_lsh_index", ignore_errors=True)
+
+    history = docs.filter(F.col("doc_id") < 100000)
+    new_batch = docs.filter(F.col("doc_id") >= 100000)
+    index = minhash_band_index(history, "doc_id", "text", k=8, bands=4)
+    write_bucketed(index, "bt_lsh_index", ["band", "key"], num_buckets=8)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def n_exchanges(idx_df):
+            cand = incremental_lsh_candidates(
+                new_batch, idx_df, "doc_id", "text", include_new_new=False
+            )
+            return (
+                cand._jdf.queryExecution().executedPlan().toString().count("Exchange")
+            )
+
+        # Same bytes as plain parquet (no bucket metadata) — the only
+        # difference between the two joins is the index's bucketing.
+        index.write.mode("overwrite").parquet(f"{warehouse}/plain_lsh_index")
+        plain = spark.read.parquet(f"{warehouse}/plain_lsh_index")
+        bucketed = spark.table("bt_lsh_index")
+        assert n_exchanges(bucketed) == n_exchanges(plain) - 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        shutil.rmtree(f"{warehouse}/plain_lsh_index", ignore_errors=True)
+
+
 def test_simhash_exact_dups_collide(docs):
     groups = simhash_duplicate_groups(docs, "doc_id", "text")
     assert groups.count() > 0
