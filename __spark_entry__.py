@@ -1296,6 +1296,58 @@ def q_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_doc", "match_doc", "kind")
 
 
+_STREAM_INC_ROOT = f"{_STAGE_ROOT}/stream_inc_lsh"
+
+
+def q_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dup detection
+    (streaming.incremental_dedup_stream): the history corpus exists
+    only as its persisted band index; new documents replay as a
+    bounded multi-batch file stream, each micro-batch joins the index
+    parquet and appends its own bands to it.  The accumulated pair
+    relation is batch-boundary-independent (see the operator
+    docstring), so DuckDB's batch recomputation — every band-sharing
+    canonical pair among history ∪ stream except history-internal
+    ones — must match exactly, however the 4 input files were
+    micro-batched."""
+    import shutil
+    import uuid
+
+    from medea_spark.pipeline import minhash_band_index
+    from medea_spark.streaming import incremental_dedup_stream
+
+    root = _STREAM_INC_ROOT
+    shutil.rmtree(root, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 10 == 0)
+    minhash_band_index(history, "doc_id", "text", n=3, k=8, bands=4).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/index")
+    originals = docs.filter(F.col("doc_id") % 20 == 0)
+    new_batch = originals.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        originals.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    new_batch.repartition(4).write.mode("overwrite").parquet(f"{root}/input")
+    stream = (
+        spark.readStream.schema(new_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/input")
+    )
+    q = incremental_dedup_stream(
+        stream,
+        spark,
+        index_path=f"{root}/index",
+        pairs_path=f"{root}/pairs",
+        checkpoint=f"{root}/ckpt_{uuid.uuid4().hex[:8]}",
+        id_col="doc_id",
+        text_col="text",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/pairs").distinct().orderBy("doc_a", "doc_b")
+
+
 def q_shard_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing (pipeline/sharding.py): documents
     spread across 8 deterministic md5-hash packing domains, each
@@ -2179,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_lsh_pairs": q_incremental_lsh_pairs,
         "shard_pack_docs": q_shard_pack_docs,
+        "stream_incremental_lsh": q_stream_incremental_lsh,
         "repo_violation_state": q_repo_violation_state,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
         "stratified_sample_events": q_stratified_sample_events,
@@ -3301,6 +3354,62 @@ def oracle_sql() -> dict[str, str]:
         from banded x join banded y using (band, key)
         where x.side = 'n' and y.side = 'n' and x.doc_id < y.doc_id
         order by new_doc, match_doc, kind
+        """,
+        # Batch recomputation of the streaming run's accumulated pair
+        # relation: every canonical band-sharing pair among
+        # history ∪ stream except the history-internal ones.  Uses the
+        # same CTE machinery as incremental_lsh_pairs.
+        "stream_incremental_lsh": r"""
+        with hist as (
+            select doc_id, text from documents where doc_id % 10 = 0
+        ), newb as (
+            select doc_id + 100000 as doc_id, text
+            from documents where doc_id % 20 = 0
+            union all
+            select doc_id + 200000, text
+            from documents where doc_id % 20 = 0
+        ), alldocs as (
+            select 'h' as side, doc_id, text from hist
+            union all
+            select 'n', doc_id, text from newb
+        ), words as (
+            select side, doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') as w
+            from alldocs
+        ), sh as (
+            select distinct side, doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                         i -> array_to_string(w[i:i+2], ' '))) as shingle
+            from words
+        ), sig as (
+            select side, doc_id,
+                   min(cast(('0x' || substr(md5('0 ' || shingle), 1, 15)) as bigint)) as h0,
+                   min(cast(('0x' || substr(md5('1 ' || shingle), 1, 15)) as bigint)) as h1,
+                   min(cast(('0x' || substr(md5('2 ' || shingle), 1, 15)) as bigint)) as h2,
+                   min(cast(('0x' || substr(md5('3 ' || shingle), 1, 15)) as bigint)) as h3,
+                   min(cast(('0x' || substr(md5('4 ' || shingle), 1, 15)) as bigint)) as h4,
+                   min(cast(('0x' || substr(md5('5 ' || shingle), 1, 15)) as bigint)) as h5,
+                   min(cast(('0x' || substr(md5('6 ' || shingle), 1, 15)) as bigint)) as h6,
+                   min(cast(('0x' || substr(md5('7 ' || shingle), 1, 15)) as bigint)) as h7
+            from sh group by side, doc_id
+        ), banded as (
+            select side, doc_id, 0 as band,
+                   md5(cast(h0 as varchar) || '_' || cast(h1 as varchar)) as key from sig
+            union all
+            select side, doc_id, 1,
+                   md5(cast(h2 as varchar) || '_' || cast(h3 as varchar)) from sig
+            union all
+            select side, doc_id, 2,
+                   md5(cast(h4 as varchar) || '_' || cast(h5 as varchar)) from sig
+            union all
+            select side, doc_id, 3,
+                   md5(cast(h6 as varchar) || '_' || cast(h7 as varchar)) from sig
+        )
+        select distinct least(x.doc_id, y.doc_id) as doc_a,
+               greatest(x.doc_id, y.doc_id) as doc_b
+        from banded x join banded y using (band, key)
+        where x.doc_id < y.doc_id and not (x.side = 'h' and y.side = 'h')
+        order by doc_a, doc_b
         """,
         # Same md5-60-bit bucket hash, exclusive running sum, and
         # dense re-numbering as pack_shards.  Integer division is NOT

@@ -4,6 +4,7 @@ from medea_spark.streaming.validate_stream import (
     REPO_STATE_OUTPUT,
     REPO_STATE_SCHEMA,
     dedup_stream,
+    incremental_dedup_stream,
     dispatch_stream,
     file_stream_source,
     repo_violation_state,
@@ -16,6 +17,7 @@ __all__ = [
     "REPO_STATE_OUTPUT",
     "REPO_STATE_SCHEMA",
     "dedup_stream",
+    "incremental_dedup_stream",
     "dispatch_stream",
     "file_stream_source",
     "repo_violation_state",

@@ -208,6 +208,81 @@ def session_counts(
     )
 
 
+def incremental_dedup_stream(
+    stream_df: DataFrame,
+    spark: Any,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+):
+    """Streaming near-dup detection against a GROWING persisted LSH
+    band index (pipeline/dedup.py) — the production ingest shape: docs
+    arrive as a file stream; each micro-batch (``foreachBatch``, so
+    the batch is a plain DataFrame and the batch-mode operators drop
+    in unchanged) equi-joins its bands against the index parquet,
+    appends the canonical candidate pairs it finds, then appends its
+    OWN bands to the index so every later batch sees it.
+
+    The accumulated pair set is batch-boundary-INDEPENDENT: a pair
+    with both docs streamed is caught either inside one batch
+    (new_new) or when the later doc's batch joins the earlier doc's
+    already-appended bands (new_old); a pair straddling history is
+    caught by the later side's batch.  So the distinct final set
+    equals the batch-mode answer over history ∪ stream, minus the
+    history-internal pairs — which is exactly what the DuckDB oracle
+    recomputes, however the files were micro-batched.
+
+    Dedup/restart semantics: parquet appends in foreachBatch are
+    at-least-once on failure/replay — consumers must read the pairs
+    relation with ``distinct()`` (candidate pairs are idempotent
+    facts, so replays add bytes, never wrong answers).  State lives in
+    the index parquet itself, not the state store: no watermark, no
+    per-key state growth, restart just re-reads the index.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from medea_spark.pipeline.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_index,
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        # The batch plan is re-executed by the candidate join AND the
+        # index append; localCheckpoint cuts the source re-read and
+        # pins batch contents across the two writes.
+        batch = batch_df.localCheckpoint(eager=True)
+        index = spark.read.parquet(index_path)
+        cand = incremental_lsh_candidates(
+            batch, index, id_col, text_col, n=n, k=k, bands=bands
+        )
+        (
+            cand.select(
+                F.least("new_doc", "match_doc").alias("doc_a"),
+                F.greatest("new_doc", "match_doc").alias("doc_b"),
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(pairs_path)
+        )
+        minhash_band_index(batch, id_col, text_col, n=n, k=k, bands=bands).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def file_stream_source(
     spark: Any,
     path: str,

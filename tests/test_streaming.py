@@ -310,6 +310,68 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
     assert out.select("event_id").distinct().count() == 200
 
 
+def test_incremental_dedup_stream_is_batch_boundary_independent(spark, tmp_path):
+    """The accumulated canonical pair set must equal the batch-mode
+    incremental answer whether the stream delivers 1 file or all 4
+    per micro-batch — the property the operator docstring promises
+    (every cross-batch pair is caught via the index append)."""
+    from pyspark.sql import functions as F
+
+    from medea_spark.pipeline import incremental_lsh_candidates, minhash_band_index
+    from medea_spark.streaming import incremental_dedup_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    history = docs.filter(F.col("doc_id") % 4 == 0)
+    # twins of every 8th doc land in the stream twice (ids +1e5, +2e5):
+    # guarantees stream-internal pairs that straddle micro-batches.
+    originals = docs.filter(F.col("doc_id") % 8 == 0)
+    stream_docs = originals.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(originals.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+
+    src = str(tmp_path / "inc_src")
+    stream_docs.repartition(4).write.mode("overwrite").parquet(src)
+    index_seed = minhash_band_index(history, "doc_id", "text")
+
+    def run(tag: str, max_files: int) -> set:
+        root = str(tmp_path / f"run_{tag}")
+        index_seed.write.mode("overwrite").parquet(f"{root}/index")
+        stream = (
+            spark.readStream.schema(stream_docs.schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+        )
+        q = incremental_dedup_stream(
+            stream,
+            spark,
+            index_path=f"{root}/index",
+            pairs_path=f"{root}/pairs",
+            checkpoint=f"{root}/ckpt",
+            id_col="doc_id",
+            text_col="text",
+        )
+        q.awaitTermination()
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(f"{root}/pairs").distinct().collect()
+        }
+
+    drip = run("drip", 1)
+    oneshot = run("oneshot", 4)
+    batch = {
+        (min(r["new_doc"], r["match_doc"]), max(r["new_doc"], r["match_doc"]))
+        for r in incremental_lsh_candidates(
+            stream_docs, index_seed, "doc_id", "text"
+        ).collect()
+    }
+    assert drip == oneshot == batch
+    # sanity: the stream really found its twin pairs
+    assert any(a >= 100000 and b >= 200000 for a, b in drip)
+    assert any(a < 100000 for a, b in drip)
+
+
 def test_session_counts_merges_across_batches_and_gap_boundary(spark, tmp_path):
     """Sessionization on a stream: fragments of one session arriving in
     DIFFERENT micro-batches (even out of order) merge in the state
