@@ -1296,6 +1296,21 @@ def q_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_doc", "match_doc", "kind")
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (pipeline/sampling.py assign_splits): every doc lands in exactly
+    one segment by where its md5-60-bit hash falls on the cumulative
+    weight intervals.  The Python-computed integer thresholds are
+    literals in BOTH plans, so DuckDB reproduces every assignment
+    bit-exactly."""
+    from medea_spark.pipeline import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return assign_splits(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).orderBy("doc_id")
+
+
 _STREAM_INC_ROOT = f"{_STAGE_ROOT}/stream_inc_lsh"
 
 
@@ -2232,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lsh_pairs": q_incremental_lsh_pairs,
         "shard_pack_docs": q_shard_pack_docs,
         "stream_incremental_lsh": q_stream_incremental_lsh,
+        "split_assign_docs": q_split_assign,
         "repo_violation_state": q_repo_violation_state,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
         "stratified_sample_events": q_stratified_sample_events,
@@ -3354,6 +3370,20 @@ def oracle_sql() -> dict[str, str]:
         from banded x join banded y using (band, key)
         where x.side = 'n' and y.side = 'n' and x.doc_id < y.doc_id
         order by new_doc, match_doc, kind
+        """,
+        # Identical integer thresholds to assign_splits (computed the
+        # same way: cumulative float weights × 2^60, truncated).
+        "split_assign_docs": f"""
+        select doc_id,
+               case
+                 when cast(('0x' || substr(md5('42:' || cast(doc_id as varchar)), 1, 15))
+                           as bigint) < {int(0.8 * (1 << 60))} then 'train'
+                 when cast(('0x' || substr(md5('42:' || cast(doc_id as varchar)), 1, 15))
+                           as bigint) < {int((0.8 + 0.1) * (1 << 60))} then 'val'
+                 else 'test'
+               end as split
+        from documents
+        order by doc_id
         """,
         # Batch recomputation of the streaming run's accumulated pair
         # relation: every canonical band-sharing pair among

@@ -47,6 +47,50 @@ def deterministic_sample(
     return df.filter(sample_predicate(F.col(key_col).cast("string"), rate, seed))
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic multi-way split assignment (train/val/test): every
+    row lands in exactly one named split, chosen by where the
+    md5-portable hash of its key falls on the unit interval carved
+    into cumulative weight segments (insertion order of ``splits``).
+
+    Pure codegen CASE over the hash — no shuffle, no rand(), pushes
+    into the scan like the samplers.  Thresholds are computed ONCE in
+    Python as exact integers of the 60-bit hash space and embedded as
+    literals, so engines replaying the same ints agree bit-exactly
+    and rerun/resume assigns every row identically.  Weights must sum
+    to 1 (±1e-9); the last segment is closed at the full hash space so
+    float truncation can never leave a row unassigned.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one segment")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in splits.values()):
+        raise ValueError("split weights must be non-negative")
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists on the input")
+    names = list(splits)
+    thresholds = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        thresholds.append(int(cum * _HASH_SPACE))
+    h = _sample_hash(F.col(key_col).cast("string"), seed)
+    expr = F.lit(names[-1])
+    # Build the CASE from the last open segment inward; each earlier
+    # threshold takes precedence, mirroring interval order.
+    for name, t in reversed(list(zip(names[:-1], thresholds))):
+        expr = F.when(h < F.lit(t), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def mixture_rates(
     df: DataFrame,
     strata_col: str,

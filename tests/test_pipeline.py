@@ -751,6 +751,43 @@ def test_deterministic_sample_reproducible_and_nested(spark):
     assert abs(len(b) / 20_000 - 0.5) < 0.02
 
 
+def test_assign_splits_partitions_exhaustively(spark):
+    """Every row gets exactly one split; proportions track the weights;
+    reruns agree; consistent with deterministic_sample's hash (the
+    train segment of seed s == the rate-0.8 sample of seed s)."""
+    from medea_spark.pipeline import assign_splits, deterministic_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    out = assign_splits(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    rows = out.collect()
+    assert len(rows) == 20_000
+    counts: dict = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.1) < 0.01
+    again = {(r["k"], r["split"]) for r in out.collect()}
+    assert {(r["k"], r["split"]) for r in rows} == again
+    sampled = {r.k for r in deterministic_sample(df, "k", 0.8, seed=7).collect()}
+    assert {r["k"] for r in rows if r["split"] == "train"} == sampled
+
+
+def test_assign_splits_guards(spark):
+    from medea_spark.pipeline import assign_splits
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "k", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="at least one"):
+        assign_splits(df, "k", {})
+    with pytest.raises(ValueError, match="already exists"):
+        assign_splits(df.withColumn("split", F.lit("x")), "k", {"a": 1.0})
+    only = assign_splits(df, "k", {"all": 1.0})
+    assert {r["split"] for r in only.collect()} == {"all"}
+
+
 def test_stratified_sample_rates(spark):
     from medea_spark.pipeline import stratified_sample
 
