@@ -1296,6 +1296,37 @@ def q_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_doc", "match_doc", "kind")
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (pipeline/dedup.py edit_distance_pairs):
+    document title prefixes get single-edit twins (chars 20-22
+    replaced), blocking on the untouched first-10-char prefix, and the
+    levenshtein gate keeps pairs within distance 6 — each twin must
+    surface its original.  Titles are ASCII (verified), so Spark's
+    char-based and DuckDB's byte-based levenshtein agree exactly."""
+    from medea_spark.pipeline import edit_distance_pairs
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", F.substring(F.trim("text"), 1, 60).alias("title"))
+    )
+    twins = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 19),
+            F.lit("xyz"),
+            F.substring("title", 23, 60),
+        ).alias("title"),
+    )
+    return edit_distance_pairs(
+        base.unionByName(twins),
+        "doc_id",
+        "title",
+        block=F.substring("title", 1, 10),
+        max_dist=6,
+    ).withColumn("dist", F.col("dist").cast("bigint")).orderBy("doc_a", "doc_b")
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
     (pipeline/sampling.py assign_splits): every doc lands in exactly
@@ -2248,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack_docs": q_shard_pack_docs,
         "stream_incremental_lsh": q_stream_incremental_lsh,
         "split_assign_docs": q_split_assign,
+        "fuzzy_match_pairs": q_fuzzy_pairs,
         "repo_violation_state": q_repo_violation_state,
         "checkpoint_lifecycle": q_checkpoint_lifecycle,
         "stratified_sample_events": q_stratified_sample_events,
@@ -3370,6 +3402,31 @@ def oracle_sql() -> dict[str, str]:
         from banded x join banded y using (band, key)
         where x.side = 'n' and y.side = 'n' and x.doc_id < y.doc_id
         order by new_doc, match_doc, kind
+        """,
+        # Replays the twin injection, prefix blocking, block-size cap,
+        # and the levenshtein gate.  ASCII titles only: DuckDB's
+        # levenshtein counts UTF-8 bytes, Spark's counts characters.
+        "fuzzy_match_pairs": """
+        with base as (
+            select doc_id, substr(trim(text), 1, 60) as title
+            from documents where doc_id < 2000
+        ), twins as (
+            select doc_id + 500000 as doc_id,
+                   substr(title, 1, 19) || 'xyz' || substr(title, 23, 60) as title
+            from base where doc_id % 5 = 0
+        ), blocked as (
+            select doc_id, title, substr(title, 1, 10) as blk
+            from (select * from base union all select * from twins)
+            where title is not null
+        ), capped as (
+            select * from blocked
+            qualify count(*) over (partition by blk) <= 10000
+        )
+        select x.doc_id as doc_a, y.doc_id as doc_b,
+               cast(levenshtein(x.title, y.title) as bigint) as dist
+        from capped x join capped y using (blk)
+        where x.doc_id < y.doc_id and levenshtein(x.title, y.title) <= 6
+        order by doc_a, doc_b
         """,
         # Identical integer thresholds to assign_splits (computed the
         # same way: cumulative float weights × 2^60, truncated).

@@ -25,7 +25,7 @@ Embedding-cosine near-dup lives in medea_spark.pipeline.similarity.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -338,6 +338,64 @@ def incremental_lsh_candidates(
         )
     )
     return new_old.unionByName(new_new).distinct()
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: Column | str,
+    max_dist: int,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Blocked fuzzy-duplicate pairs (record-linkage style): candidates
+    meet ONLY inside a block — an equi-join on the caller's blocking
+    expression (prefix, normalized key, phonetic code, ...) — and
+    survive if ``levenshtein(text_a, text_b) <= max_dist``.  Returns
+    ``(doc_a, doc_b, dist)`` with doc_a < doc_b.
+
+    Scale shape: never all-pairs — quadratic only inside a block, and
+    blocks larger than ``max_block`` rows are dropped entirely (the
+    posting-cap pattern from ngram_jaccard_pairs: a degenerate block
+    key, like an empty prefix, would otherwise go globally quadratic).
+    The block-size count is a window over the same partitioning the
+    self-join needs, so the relation exchanges once.  NULL blocks and
+    NULL texts never match (dropped before the join).
+
+    Edit distance is computed on the STRING as stored: Spark's
+    levenshtein counts unicode characters while DuckDB's counts UTF-8
+    bytes, so cross-engine-oracled uses must keep ``text_col`` ASCII
+    (the operator itself is fine with any unicode).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if max_block < 2:
+        raise ValueError(f"max_block must allow pairs (>= 2), got {max_block}")
+    block_col = F.col(block) if isinstance(block, str) else block
+    b = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("nm"),
+            block_col.alias("blk"),
+        )
+        .filter(F.col("blk").isNotNull() & F.col("nm").isNotNull())
+        .withColumn(
+            "_blk_n", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+        )
+        .filter(F.col("_blk_n") <= max_block)
+        .drop("_blk_n")
+    )
+    return (
+        b.alias("x")
+        .join(b.alias("y"), "blk")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("x.nm"), F.col("y.nm")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 — the engine-portable hash width

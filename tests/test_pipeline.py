@@ -283,6 +283,55 @@ def test_simhash_exact_dups_collide(docs):
     assert vals[0] == vals[100000]
 
 
+def test_edit_distance_pairs_blocking_and_cap(spark):
+    from medea_spark.pipeline import edit_distance_pairs
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamms"),   # dist 1 from 1, same block
+        (3, "alpha beta XXXXXXX"), # same block, dist > 2
+        (4, "zeta beta gamma"),    # different block, dist 2 from 1 — must NOT pair
+        (5, None),                 # NULL text dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, nm: string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in edit_distance_pairs(
+            df, "doc_id", "nm", block=F.substring("nm", 1, 5), max_dist=2
+        ).collect()
+    }
+    assert got == {(1, 2, 1)}
+    # Spark levenshtein is CHARACTER-based (unicode-safe), unlike
+    # DuckDB's byte-based one — the docstring's oracle caveat.
+    uni = spark.createDataFrame(
+        [(1, "café"), (2, "cafe")], "doc_id: long, nm: string"
+    )
+    (pair,) = edit_distance_pairs(
+        uni, "doc_id", "nm", block=F.lit("b"), max_dist=3
+    ).collect()
+    assert pair["dist"] == 1
+
+    # Degenerate block key: with the cap below the block size the
+    # whole block is dropped (never goes quadratic); raising it the
+    # pairs come back.
+    flood = spark.createDataFrame(
+        [(i, "same text") for i in range(10)], "doc_id: long, nm: string"
+    )
+    capped = edit_distance_pairs(
+        flood, "doc_id", "nm", block=F.lit("k"), max_dist=0, max_block=9
+    )
+    assert capped.count() == 0
+    full = edit_distance_pairs(
+        flood, "doc_id", "nm", block=F.lit("k"), max_dist=0, max_block=10
+    )
+    assert full.count() == 45
+
+    with pytest.raises(ValueError, match=">= 0"):
+        edit_distance_pairs(df, "doc_id", "nm", block=F.lit("k"), max_dist=-1)
+    with pytest.raises(ValueError, match="allow pairs"):
+        edit_distance_pairs(df, "doc_id", "nm", block=F.lit("k"), max_dist=1, max_block=1)
+
+
 # --- shard packing ----------------------------------------------------------
 
 
