@@ -18,9 +18,11 @@ Usage:
         [--bootstrap]  [--n 3 --k 8 --bands 4]
 
 ``--bootstrap`` initializes the index FROM the input batch (first
-ever ingest) and writes no pairs.  Re-running a failed ingest appends
-duplicate rows (at-least-once); candidate pairs are idempotent facts,
-so consumers read the pairs relation with ``distinct()``.
+ever ingest) and writes no pairs.  The pairs sink is canonical
+``(doc_a, doc_b)`` with doc_a < doc_b and no kind column — that is
+what makes re-running a failed ingest safe: replays only append rows
+a read-side ``distinct()`` removes (identity pairs are excluded by
+the operator), never differently-labeled facts.
 
 Id namespaces across batches must be disjoint (any append-only ingest
 has this); the LSH family parameters (n, k, bands) must match the
@@ -91,21 +93,34 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "band keys would be incomparable"
             )
         index = spark.read.parquet(args.index)
-        cand = incremental_lsh_candidates(
-            batch, index, args.id_col, args.text_col, **params
-        )
-        pairs = cand.select(
-            F.least("new_doc", "match_doc").alias("doc_a"),
-            F.greatest("new_doc", "match_doc").alias("doc_b"),
-            "kind",
-        ).distinct()
-        pairs.write.mode("append").parquet(args.pairs)
-        minhash_band_index(
+        # Band the batch ONCE and persist: the banded relation feeds
+        # both candidate joins and the index append — without the
+        # persist each consumer re-scans and re-minhashes the input
+        # (and a live table could change between reads).
+        banded = minhash_band_index(
             batch, args.id_col, args.text_col, **params
-        ).write.mode("append").parquet(args.index)
-        result["pairs_found"] = (
-            spark.read.parquet(args.pairs).distinct().count()
+        ).persist()
+        cand = incremental_lsh_candidates(
+            batch, index, args.id_col, args.text_col, new_bands=banded, **params
         )
+        # Canonical, kind-free sink: an at-least-once replay (this job
+        # rerun after the index append) re-finds its within-batch
+        # pairs as new_old, which canonicalize to rows a read-side
+        # distinct() removes; identity pairs are excluded by the
+        # operator.  Kinds are available via the library call.
+        pairs = (
+            cand.select(
+                F.least("new_doc", "match_doc").alias("doc_a"),
+                F.greatest("new_doc", "match_doc").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        result["pairs_found"] = pairs.count()  # THIS run's pairs only
+        pairs.write.mode("append").parquet(args.pairs)
+        banded.write.mode("append").parquet(args.index)
+        pairs.unpersist()
+        banded.unpersist()
 
     print(json.dumps(result))
     if own_session:

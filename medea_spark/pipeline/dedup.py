@@ -291,6 +291,7 @@ def incremental_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     include_new_new: bool = True,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates for a NEW batch against a PERSISTED band
     index (``minhash_band_index`` output: doc_id, band, key), without
@@ -304,21 +305,40 @@ def incremental_lsh_candidates(
     ~``bands`` small rows per historical doc, no text.  The new batch
     shingles/hashes locally (one explode + one groupBy over the BATCH),
     and both joins are band-key equi-joins.  With the index saved via
-    ``bucketBy(B, "key")`` the new-old join shuffles only the new
-    side; either way nothing is quadratic beyond a shared band's
-    posting list.  Index ids are assumed disjoint from batch ids
-    (enforce upstream with an id namespace, as any append-only ingest
-    does); a doc indexed AND re-ingested matches itself as new_old.
+    ``bucketBy(B, "band", "key")`` — BOTH join keys, per
+    minhash_band_index's docstring — the new-old join shuffles only
+    the new side; either way nothing is quadratic beyond a shared
+    band's posting list.  Index ids are assumed disjoint from batch
+    ids (enforce upstream with an id namespace, as any append-only
+    ingest does); IDENTITY pairs (a batch id also present in the
+    index, e.g. an at-least-once replay joining its own appended
+    bands) are excluded — a doc is never a duplicate of itself, so a
+    replayed ingest only re-emits rows a read-side distinct removes.
+
+    ``new_bands`` short-circuits the banding when the caller already
+    computed (and persisted) ``minhash_band_index(new_docs, ...)`` —
+    the ingest job bands the batch ONCE and reuses the relation for
+    both joins and the index append.
     """
     if set(index.columns) != {"doc_id", "band", "key"}:
         raise ValueError(
             f"index must be a minhash_band_index relation "
             f"(doc_id, band, key); got {sorted(index.columns)}"
         )
-    new_banded = minhash_band_index(new_docs, id_col, text_col, n, k, bands)
+    if new_bands is not None and set(new_bands.columns) != {"doc_id", "band", "key"}:
+        raise ValueError(
+            f"new_bands must be a minhash_band_index relation "
+            f"(doc_id, band, key); got {sorted(new_bands.columns)}"
+        )
+    new_banded = (
+        new_bands
+        if new_bands is not None
+        else minhash_band_index(new_docs, id_col, text_col, n, k, bands)
+    )
     new_old = (
         new_banded.alias("x")
         .join(index.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("new_doc"),
             F.col("y.doc_id").alias("match_doc"),
@@ -385,6 +405,11 @@ def edit_distance_pairs(
         .filter(F.col("_blk_n") <= max_block)
         .drop("_blk_n")
     )
+    # Bounded levenshtein (threshold arg): banded O(len·max_dist) DP
+    # that early-exits with -1 above the threshold — Catalyst pushes
+    # the dist filter through the projection, re-evaluating the
+    # expression per reference (CLAUDE.md), so the per-evaluation cost
+    # matters more than the reference count.
     return (
         b.alias("x")
         .join(b.alias("y"), "blk")
@@ -392,9 +417,11 @@ def edit_distance_pairs(
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("x.nm"), F.col("y.nm")).alias("dist"),
+            F.levenshtein(
+                F.col("x.nm"), F.col("y.nm"), threshold=max(1, max_dist)
+            ).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
 
 

@@ -66,6 +66,13 @@ def assign_splits(
     and rerun/resume assigns every row identically.  Weights must sum
     to 1 (±1e-9); the last segment is closed at the full hash space so
     float truncation can never leave a row unassigned.
+
+    NULL keys hash to NULL and get a NULL split — visible and
+    filterable, never silently piled into the last segment (which
+    would contaminate a held-out set with exactly the malformed
+    rows).  A plain SQL CASE falls through to its ELSE on NULL, so an
+    oracle replaying this on NULLable keys must wrap the CASE in an
+    outer ``key IS NOT NULL`` guard.
     """
     if not splits:
         raise ValueError("splits must name at least one segment")
@@ -88,6 +95,7 @@ def assign_splits(
     # threshold takes precedence, mirroring interval order.
     for name, t in reversed(list(zip(names[:-1], thresholds))):
         expr = F.when(h < F.lit(t), F.lit(name)).otherwise(expr)
+    expr = F.when(F.col(key_col).isNotNull(), expr)  # NULL key → NULL split
     return df.withColumn(split_col, expr)
 
 

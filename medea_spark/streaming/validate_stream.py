@@ -239,10 +239,14 @@ def incremental_dedup_stream(
 
     Dedup/restart semantics: parquet appends in foreachBatch are
     at-least-once on failure/replay — consumers must read the pairs
-    relation with ``distinct()`` (candidate pairs are idempotent
-    facts, so replays add bytes, never wrong answers).  State lives in
-    the index parquet itself, not the state store: no watermark, no
-    per-key state growth, restart just re-reads the index.
+    relation with ``distinct()``.  Replays stay benign BECAUSE the
+    sink is canonical (least/greatest, no kind column) and the
+    candidate join excludes identity pairs: a batch replayed after
+    its own index append re-finds its within-batch pairs through the
+    index, but those canonicalize to rows distinct() removes, and it
+    can never pair a doc with itself.  State lives in the index
+    parquet, not the state store: no watermark, no per-key state
+    growth, restart just re-reads the index.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
@@ -254,13 +258,16 @@ def incremental_dedup_stream(
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        # The batch plan is re-executed by the candidate join AND the
-        # index append; localCheckpoint cuts the source re-read and
-        # pins batch contents across the two writes.
-        batch = batch_df.localCheckpoint(eager=True)
+        # Band the batch ONCE: the banded relation feeds both candidate
+        # joins AND the index append.  localCheckpoint pins its contents
+        # (and cuts the source re-read) across the three consumers.
+        banded = minhash_band_index(
+            batch_df, id_col, text_col, n=n, k=k, bands=bands
+        ).localCheckpoint(eager=True)
         index = spark.read.parquet(index_path)
         cand = incremental_lsh_candidates(
-            batch, index, id_col, text_col, n=n, k=k, bands=bands
+            batch_df, index, id_col, text_col,
+            n=n, k=k, bands=bands, new_bands=banded,
         )
         (
             cand.select(
@@ -271,9 +278,7 @@ def incremental_dedup_stream(
             .write.mode("append")
             .parquet(pairs_path)
         )
-        minhash_band_index(batch, id_col, text_col, n=n, k=k, bands=bands).write.mode(
-            "append"
-        ).parquet(index_path)
+        banded.write.mode("append").parquet(index_path)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

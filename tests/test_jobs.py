@@ -31,26 +31,33 @@ def test_ingest_dedup_job_bootstrap_ingest_and_params_guard(spark, tmp_path):
         spark=spark,
     ) == 0
     pairs = spark.read.parquet(f"{d}/pairs").distinct()
-    twin_hits = {
-        r["doc_a"]
-        for r in pairs.filter(F.col("doc_b") >= 700000).collect()
-    }
     expected = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
-    assert expected <= twin_hits | {r["doc_a"] for r in pairs.collect()}
-    # every exact twin found its original
-    found = {
-        (r["doc_a"], r["doc_b"])
-        for r in pairs.filter(F.col("kind") == "new_old").collect()
-    }
+    # every exact twin found its original (canonical: twin ids are larger)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert {(e, e + 700000) for e in expected} <= found
+    # no identity pairs, all canonical
+    assert all(a < b for a, b in found)
 
-    # the batch's own bands were appended: a re-ingest of the SAME twin
-    # ids would now self-match — instead verify the index grew
+    # the batch's own bands were appended
     idx_docs = {
         r["doc_id"] for r in spark.read.parquet(f"{d}/idx").select("doc_id").distinct().collect()
     }
     assert expected <= idx_docs  # history
     assert {e + 700000 for e in expected} <= idx_docs  # appended batch
+
+    # At-least-once replay AFTER the index append (the failure mode a
+    # rerun simulates): the batch now joins its OWN bands, but identity
+    # pairs are excluded and the sink is canonical — the distinct pair
+    # set must be exactly unchanged.
+    assert ingest_job.main(
+        ["--input", f"{d}/batch1", "--index", f"{d}/idx", "--pairs", f"{d}/pairs"],
+        spark=spark,
+    ) == 0
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{d}/pairs").distinct().collect()
+    }
+    assert after == found
 
     with pytest.raises(ValueError, match="incomparable"):
         ingest_job.main(

@@ -835,6 +835,12 @@ def test_assign_splits_guards(spark):
         assign_splits(df.withColumn("split", F.lit("x")), "k", {"a": 1.0})
     only = assign_splits(df, "k", {"all": 1.0})
     assert {r["split"] for r in only.collect()} == {"all"}
+    # NULL keys get a NULL split — never silently piled into the last
+    # segment (which would contaminate a held-out set).
+    withnull = spark.createDataFrame([(1,), (None,)], "k: long")
+    got = {r["k"]: r["split"] for r in
+           assign_splits(withnull, "k", {"train": 0.5, "test": 0.5}).collect()}
+    assert got[None] is None and got[1] in ("train", "test")
 
 
 def test_stratified_sample_rates(spark):
