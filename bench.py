@@ -8,6 +8,10 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   input tables (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   MEDEA_BENCH_ROWS     corpus rows for the files/sec measure (default 300000)
+  MEDEA_BENCH_REPEATS  runs per query, best-of-k reported (default 1 —
+                       the driver's one-shot mode; use 3 for the
+                       steady-state adjudication reads, which strips
+                       first-run codegen compile and shared-VM noise)
 
 Each query is materialized with the no-op sink (``format("noop")``) so
 timing covers scan → compute without driver-collect overhead.  The
@@ -33,6 +37,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     bench_rows = int(os.environ.get("MEDEA_BENCH_ROWS", "300000"))
+    repeats = max(1, int(os.environ.get("MEDEA_BENCH_REPEATS", "1")))
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -92,9 +97,12 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         load1 = os.getloadavg()[0]
         s_total, s_idle, s_steal = proc_stat()
-        t0 = time.monotonic()
-        run_noop(fn(spark, sf_dir))
-        results[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            run_noop(fn(spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        results[name] = round(best, 3)
         e_total, e_idle, e_steal = proc_stat()
         d_total = e_total - s_total
         query_env[name] = {
