@@ -15,9 +15,11 @@ column name).
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -268,6 +270,37 @@ atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
 _STREAM_INPUT_PATH = f"{_STAGE_ROOT}/stream_input"
 
 
+def _stream_state_partitions(spark: SparkSession) -> int:
+    """State-store / micro-batch shuffle partition count for the bounded
+    stream replays.  Stateful streaming operators commit one state-store
+    delta PER SHUFFLE PARTITION PER MICRO-BATCH, so the batch-oriented
+    ``spark.sql.shuffle.partitions`` (sized 2×cores for the big
+    aggregations) multiplies straight into state-store file I/O while
+    the per-batch key volume here is tiny.  Scale-adaptive: override
+    with MEDEA_STREAM_STATE_PARTITIONS on a real cluster (size it to
+    the hot key count / state volume); the default derives from the
+    session's core count rather than hard-coding the local machine."""
+    env = os.environ.get("MEDEA_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    cores = spark.sparkContext.defaultParallelism or 8
+    return max(8, cores // 4)
+
+
+@contextmanager
+def _stream_conf(spark: SparkSession):
+    """Temporarily size shuffle partitions for a streaming query's state
+    store (the value is captured at query ``start()``; batch queries run
+    after restore are untouched)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(_stream_state_partitions(spark)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def q_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end with a hard gate: the mutated
     events table is replayed as a bounded file stream (availableNow,
@@ -285,22 +318,28 @@ def q_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "content"
     )
     prepared.repartition(8).write.mode("overwrite").parquet(_STREAM_INPUT_PATH)
+    # 4 files per micro-batch: the cross-batch state merge is exercised
+    # with two batches; the per-batch cost (planning + a state commit
+    # per partition + a complete-mode sink rewrite) is pure scheduling
+    # overhead, so fewer, larger micro-batches is the same lever as
+    # "fewer, larger reduce partitions" for batch shuffles.
     stream = (
         spark.readStream.schema(prepared.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .parquet(_STREAM_INPUT_PATH)
     )
     validated = validate_stream(stream, _events_graph())
     census = windowed_violation_counts(validated, ts_col="ts", window="1 minute")
     name = f"stream_census_{uuid.uuid4().hex[:8]}"
-    q = (
-        census.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            census.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -331,9 +370,11 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = f"{_STAGE_ROOT}/stream_sessions_input"
     prepared.repartition(8).write.mode("overwrite").parquet(path)
+    # Two micro-batches (4 files each): still a genuine cross-batch
+    # session merge; per-batch state-commit overhead halved.
     stream = (
         spark.readStream.schema(prepared.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .parquet(path)
     )
     # The replay files are round-robin shards, so each micro-batch spans
@@ -344,14 +385,15 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, key_col="user_id", ts_col="ts", gap="30 minutes", watermark="31 days"
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start_us")
 
 
@@ -1229,7 +1271,7 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the quantizer users actually deploy is oracle-verified, not just
     recall-tested."""
     from medea_spark.pipeline import build_ivf_index, ivf_ann_topk
-    from medea_spark.pipeline.ivf import IvfIndex, assign_cells
+    from medea_spark.pipeline.ivf import IvfIndex, assign_cells, export_centroids
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = vecs.filter(F.col("vec_id") < 5)
@@ -1238,9 +1280,12 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle gates the exported centroids regardless of how they were fit.
     fitted = build_ivf_index(
         vecs, nlist=8, seed=42, portable_assign=True,
-        sample_fraction=0.5, max_iter=8,
+        sample_fraction=0.5, max_iter=4, init_mode="random",
     )
-    fitted.centroids.coalesce(1).write.mode("overwrite").parquet(_IVF_CENTROIDS_PATH)
+    # Driver-side pyarrow write: nlist rows already live on the driver
+    # (the fitted model's centers) — a Spark write job for 8 rows is all
+    # task-launch + commit overhead.
+    export_centroids(fitted, _IVF_CENTROIDS_PATH)
     # Re-read the persisted centroids so Spark and the oracle derive
     # from the identical bytes (KMeans numerics never enter the gate).
     cents = spark.read.parquet(_IVF_CENTROIDS_PATH)
@@ -1376,21 +1421,27 @@ def q_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         originals.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
     )
     new_batch.repartition(4).write.mode("overwrite").parquet(f"{root}/input")
+    # Two micro-batches (2 files each): new_old AND cross-batch new_new
+    # discovery both still exercised (the pair set is batch-boundary-
+    # independent by construction); per-batch join/append overhead
+    # halved.  _stream_conf also caps the foreachBatch joins' shuffle
+    # width (streaming plans never get AQE coalescing).
     stream = (
         spark.readStream.schema(new_batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(f"{root}/input")
     )
-    q = incremental_dedup_stream(
-        stream,
-        spark,
-        index_path=f"{root}/index",
-        pairs_path=f"{root}/pairs",
-        checkpoint=f"{root}/ckpt_{uuid.uuid4().hex[:8]}",
-        id_col="doc_id",
-        text_col="text",
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = incremental_dedup_stream(
+            stream,
+            spark,
+            index_path=f"{root}/index",
+            pairs_path=f"{root}/pairs",
+            checkpoint=f"{root}/ckpt_{uuid.uuid4().hex[:8]}",
+            id_col="doc_id",
+            text_col="text",
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{root}/pairs").distinct().orderBy("doc_a", "doc_b")
 
 
@@ -1434,22 +1485,27 @@ def q_repo_violation_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
     )
     prepared.repartition(6).write.mode("overwrite").parquet(_STREAM_STATE_INPUT)
+    # Two micro-batches (3 files each): running totals still accumulate
+    # across a batch boundary; applyInPandasWithState spawns one Python
+    # state task PER SHUFFLE PARTITION per batch, so _stream_conf's
+    # partition cap is the bigger lever here (13 repos ≪ 64 partitions).
     stream = (
         spark.readStream.schema(prepared.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 3)
         .parquet(_STREAM_STATE_INPUT)
     )
     validated = validate_stream(stream, _events_graph())
     state = repo_violation_state(validated)
     name = f"repo_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        state.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            state.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("repo")
@@ -1851,9 +1907,14 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from medea_spark.engine import ensure_kernel_parallelism
     from medea_spark.pipeline import prepare_corpus
 
-    docs = ensure_kernel_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ).select("doc_id", "text")
+    # Widen AFTER the union (below), not per branch: a repartition
+    # applied to the shared scan is duplicated into every derived
+    # branch (filter pushdown makes the exchanges non-identical, so
+    # ReuseExchange can't fire) — 3 round-robin exchanges of the text
+    # bytes where one suffices.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
     tenth = docs.filter(F.col("doc_id") % 10 == 0)
     variant_a = tenth.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -1875,7 +1936,9 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["doc_id", "text"],
     )
-    full = docs.unionByName(variant_a).unionByName(variant_b).unionByName(extras)
+    full = ensure_kernel_parallelism(
+        docs.unionByName(variant_a).unionByName(variant_b).unionByName(extras)
+    )
     return prepare_corpus(full, chunk_tokens=24, overlap=6).orderBy(
         "doc_id", "chunk_id"
     )
@@ -2093,21 +2156,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
     staged.repartition(6).write.mode("overwrite").parquet(_STREAM_DEDUP_INPUT)
+    # Two micro-batches (3 files each): duplicates still straddle the
+    # batch boundary (round-robin staging), halved state-commit count.
     stream = (
         spark.readStream.schema(staged.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 3)
         .parquet(_STREAM_DEDUP_INPUT)
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup_stream(stream, ["event_id"], "ts", "10 minutes")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            dedup_stream(stream, ["event_id"], "ts", "10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("event_id").orderBy("event_id")
 
 

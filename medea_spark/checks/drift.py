@@ -390,29 +390,40 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
     with observed=0 so the chi-square terms are complete."""
     x = F.col(col)
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
-    counts = (
+    # ONE conditional-aggregation pass: per-digit counts and the grand
+    # total ride the same single-row aggregate (the previous
+    # groupBy-then-total shape executed the full scan+agg subtree twice
+    # — once under the digit join, once under the total), then a 9-row
+    # explode reshapes.  n is count(*) of the filtered rows — identical
+    # to the old sum of the per-digit group counts — nullif'd to
+    # preserve the empty-input NULL metrics.
+    one = (
         df.filter(x.isNotNull() & (x > 0))
         .select(digit.alias("digit"))
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("observed"))
-    )
-    spark = df.sparkSession
-    digits = spark.createDataFrame(
-        [(d, BENFORD_P[d]) for d in range(1, 10)], ["digit", "p"]
-    )
-    total = counts.agg(F.sum("observed").alias("n"))
-    return (
-        digits.join(counts, "digit", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "digit",
-            F.coalesce("observed", F.lit(0)).alias("observed"),
-            F.round(F.col("p") * F.col("n"), 6).alias("expected"),
-            F.round(
-                F.pow(F.coalesce("observed", F.lit(0)) - F.col("p") * F.col("n"), 2)
-                / (F.col("p") * F.col("n")),
-                6,
-            ).alias("chi2_term"),
+        .agg(
+            F.nullif(F.count(F.lit(1)), F.lit(0)).alias("n"),
+            *[
+                F.sum((F.col("digit") == d).cast("long")).alias(f"o{d}")
+                for d in range(1, 10)
+            ],
         )
+    )
+    n = F.col("n")
+    rows = []
+    for d in range(1, 10):
+        p = F.lit(BENFORD_P[d])
+        obs = F.coalesce(F.col(f"o{d}"), F.lit(0))
+        rows.append(
+            F.struct(
+                # bigint, matching the previous createDataFrame digit column
+                F.lit(d).cast("long").alias("digit"),
+                obs.alias("observed"),
+                F.round(p * n, 6).alias("expected"),
+                F.round(F.pow(obs - p * n, 2) / (p * n), 6).alias("chi2_term"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("b"))
+        .select("b.digit", "b.observed", "b.expected", "b.chi2_term")
         .orderBy("digit")
     )

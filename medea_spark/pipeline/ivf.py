@@ -27,12 +27,51 @@ from medea_spark.pipeline.similarity import cosine
 
 @dataclass
 class IvfIndex:
-    """Fitted coarse quantizer + the cluster-assigned corpus."""
+    """Fitted coarse quantizer + the cluster-assigned corpus.
+
+    ``centers`` (when the quantizer was fit driver-side, i.e. MLlib
+    KMeans) is the raw ``[(cluster, [components...]), ...]`` list —
+    nlist rows of driver memory.  :func:`export_centroids` uses it to
+    write the centroid parquet without launching a Spark write job."""
 
     centroids: DataFrame  # (cluster int, centroid array<double>)
     assigned: DataFrame  # corpus columns + cluster int
     id_col: str
     vec_col: str
+    centers: list | None = None
+
+
+def export_centroids(index: IvfIndex, path: str) -> None:
+    """Persist the fitted centroids as ONE parquet file at ``path``.
+
+    nlist rows are driver-resident by construction (KMeans models hold
+    their centers on the driver), so this writes them with pyarrow
+    directly — a millisecond file write — instead of scheduling a
+    Spark job whose task launch + commit protocol costs a thousand
+    times the payload.  Readers (Spark scan, DuckDB oracle) see the
+    identical bytes either way."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if index.centers is None:
+        raise ValueError("export_centroids needs an index fit with raw centers")
+    # overwrite semantics: never leave stale part files from an earlier
+    # (possibly Spark-written) export to be picked up by readers
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(
+        {
+            "cluster": pa.array([int(c) for c, _ in index.centers], pa.int64()),
+            "centroid": pa.array(
+                [[float(x) for x in v] for _, v in index.centers],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(table, f"{path}/part-00000.parquet")
 
 
 def assign_cells(
@@ -79,6 +118,7 @@ def build_ivf_index(
     sample_fraction: float | None = None,
     portable_assign: bool = False,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> IvfIndex:
     """Fit the coarse quantizer and assign every vector to a cell.
 
@@ -104,22 +144,31 @@ def build_ivf_index(
     # max_iter trades fit cost for centroid quality — IVF recall is
     # governed by n_probe far more than by fully-converged centroids,
     # so production indexes can cut iterations well below MLlib's 20.
+    # init_mode="random" (deterministic under the fixed seed) skips the
+    # k-means|| init sweep — several extra distributed passes whose only
+    # payoff is faster convergence the low max_iter forgoes anyway.
     model = KMeans(
-        k=nlist, seed=seed, maxIter=max_iter,
+        k=nlist, seed=seed, maxIter=max_iter, initMode=init_mode,
         featuresCol="_features", predictionCol="cluster",
     ).fit(fit_input)
     spark = df.sparkSession
     # Centroids come from the driver-side model: nlist rows —
     # broadcast-sized by construction.
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cluster", "centroid"],
-    )
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centroids = spark.createDataFrame(centers, ["cluster", "centroid"])
     if portable_assign:
         assigned = assign_cells(df, centroids, vec_col)
     else:
         assigned = model.transform(featurized).drop("_features")
-    return IvfIndex(centroids=centroids, assigned=assigned, id_col=id_col, vec_col=vec_col)
+    return IvfIndex(
+        centroids=centroids,
+        assigned=assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        centers=centers,
+    )
 
 
 def build_ivf_index_hashseed(

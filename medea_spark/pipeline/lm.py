@@ -105,13 +105,15 @@ def perplexity(
             f"id_col {id_col!r} collides with the scorer's internal "
             f"names {sorted(internal)} — rename it first"
         )
-    # V = |vocab| + 1: a tiny driver-side aggregate read, not row data.
-    # persist() first: the count() and the scoring join below both
-    # consume this relation, and an unpersisted unigram_counts(docs)
-    # argument would re-run the corpus-wide explode+hash-agg twice
-    # (the CLAUDE.md unpersisted-consumer class).  Vocab-sized — cheap.
+    # V = |vocab| + 1 rides the plan as a one-row broadcast aggregate —
+    # no eager count() job (round-5 verdict: one fewer job per call).
+    # persist() still matters: the vocab-count branch and the scoring
+    # join below both consume this relation, and an unpersisted
+    # unigram_counts(docs) argument would re-run the corpus-wide
+    # explode+hash-agg twice (the CLAUDE.md unpersisted-consumer
+    # class).  Vocab-sized — cheap.
     unigrams = unigrams.persist()
-    vocab_v = unigrams.count() + 1
+    vocab = unigrams.agg((F.count(F.lit(1)) + F.lit(1)).alias("_V"))
     uni = unigrams.select("w", "c_uni")
     bi = bigrams.select("w1", "w2", "c_bi")
     if broadcast_lm:
@@ -125,13 +127,17 @@ def perplexity(
     scored = (
         pairs.join(bi, ["w1", "w2"], "left")
         .join(uni.withColumnRenamed("w", "w1"), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
             F.when(
                 F.col("w1").isNotNull(),
                 F.log(
                     (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(alpha))
-                    / (F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(alpha * vocab_v))
+                    # alpha·V as a JVM double product of the same two
+                    # values the old Python-literal alpha*vocab_v held —
+                    # bit-identical (V is an exact small integer).
+                    / (F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(alpha) * F.col("_V"))
                 ),
             ).alias("logp"),
         )
