@@ -103,6 +103,52 @@ class CheckpointStore:
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self._ckpt_path)
 
+    def append_rows(self, rows: list[tuple]) -> None:
+        """Commit checkpoint rows (``CHECKPOINT_SCHEMA`` minus
+        ``committed_at``, which is stamped here) from the driver.
+
+        Checkpoint rows are per-partition METADATA — a handful of rows
+        per wave, already driver-resident — so this writes one parquet
+        file with pyarrow instead of scheduling a Spark job per commit
+        (task launch + commit protocol for a few-KB payload).  The
+        Iceberg swap-in point is unchanged: a catalog commit is
+        likewise a driver-side metadata write.  Types mirror
+        CHECKPOINT_SCHEMA exactly (int32 part_id/wave) so ``read()``'s
+        explicit schema accepts files from either writer."""
+        import os
+        import uuid as _uuid
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        now = datetime.now(timezone.utc)
+        cols = list(zip(*rows)) if rows else [[] for _ in range(11)]
+        table = pa.table(
+            {
+                "run_id": pa.array(cols[0], pa.string()),
+                "part_id": pa.array(cols[1], pa.int32()),
+                "status": pa.array(cols[2], pa.string()),
+                "rows": pa.array(cols[3], pa.int64()),
+                "valid_rows": pa.array(cols[4], pa.int64()),
+                "invalid_rows": pa.array(cols[5], pa.int64()),
+                "violation_count": pa.array(cols[6], pa.int64()),
+                "wall_ms": pa.array(cols[7], pa.int64()),
+                "wave": pa.array(cols[8], pa.int32()),
+                "schema_fingerprint": pa.array(cols[9], pa.string()),
+                "input_fingerprint": pa.array(cols[10], pa.string()),
+                # tz-aware (isAdjustedToUTC) so read()'s TimestampType
+                # schema accepts the column without NTZ coercion
+                "committed_at": pa.array(
+                    [now] * len(rows), pa.timestamp("us", tz="UTC")
+                ),
+            }
+        )
+        os.makedirs(self._ckpt_path, exist_ok=True)
+        pq.write_table(
+            table, f"{self._ckpt_path}/commit-{_uuid.uuid4().hex}.parquet"
+        )
+
     def done_part_ids(
         self,
         run_id: str,
@@ -250,14 +296,31 @@ def run_validation_with_checkpoints(
         # consumers (validated sink, violations sink, summary commit) —
         # without a persist each consumer would re-run the UDF stage,
         # tripling the wave's kernel cost.  Wave size already bounds the
-        # cache footprint (that is what waves are for).
+        # cache footprint (that is what waves are for).  The three
+        # consumers are independent, so they run as CONCURRENT jobs
+        # (driver threads): the later jobs' tasks back-fill executors
+        # freed by the first job's tail instead of waiting for it, and
+        # the cache's per-partition loading locks guarantee the kernel
+        # still runs once per partition whichever job gets there first.
+        from concurrent.futures import ThreadPoolExecutor
+
         result.validated.persist()
         try:
-            result.validated.drop("violations").write.mode("overwrite").parquet(
-                f"{out}/validated"
-            )
-            result.violations.write.mode("overwrite").parquet(f"{out}/violations")
-            summary_rows = result.summary.collect()
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_validated = pool.submit(
+                    lambda: result.validated.drop("violations")
+                    .write.mode("overwrite")
+                    .parquet(f"{out}/validated")
+                )
+                f_violations = pool.submit(
+                    lambda: result.violations.write.mode("overwrite").parquet(
+                        f"{out}/violations"
+                    )
+                )
+                f_summary = pool.submit(result.summary.collect)
+                f_validated.result()
+                f_violations.result()
+                summary_rows = f_summary.result()
         finally:
             result.validated.unpersist()
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -283,10 +346,7 @@ def run_validation_with_checkpoints(
             for p in wave_parts
             if p not in seen
         ]
-        ckpt = spark.createDataFrame(
-            records, T.StructType(CHECKPOINT_SCHEMA.fields[:-1])
-        ).withColumn("committed_at", F.current_timestamp())
-        store.append(ckpt)
+        store.append_rows(records)
         waves_run += 1
         parts_done += len(wave_parts)
 
