@@ -55,15 +55,28 @@ def shingles(
     ``unit="char"`` shingles over characters of the normalized text —
     the classic choice for source code and short strings, where token
     boundaries are unreliable.  Documents shorter than n units produce
-    no shingles."""
+    no shingles.
+
+    The normalized form is STAGED as a named column before the
+    ``transform`` lambda: HOF lambdas run interpreted, and an outer
+    expression captured in the lambda re-evaluates once per array
+    element (the CLAUDE.md lang_scores class) — unstaged, every n-gram
+    of a d-char document re-ran the regexp normalization, turning an
+    O(d) explode into O(d²) regex work per document (measured ~5×
+    on jaccard_char_pairs).  The stage survives CollapseProject because
+    the normalized column is non-cheap and multi-referenced
+    (SPARK-36718)."""
     if unit == "char":
         norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-        n_grams = F.length(norm) - (n - 1)
-        gram = lambda i: norm.substr(i, F.lit(n))  # noqa: E731
+        base = df.select(F.col(id_col).alias("doc_id"), norm.alias("_u"))
+        n_grams = F.length(F.col("_u")) - (n - 1)
+        gram = lambda i: F.col("_u").substr(i, F.lit(n))  # noqa: E731
     elif unit == "word":
-        words = _norm_words(F.col(text_col))
-        n_grams = F.size(words) - (n - 1)
-        gram = lambda i: F.concat_ws(" ", F.slice(words, i, n))  # noqa: E731
+        base = df.select(
+            F.col(id_col).alias("doc_id"), _norm_words(F.col(text_col)).alias("_u")
+        )
+        n_grams = F.size(F.col("_u")) - (n - 1)
+        gram = lambda i: F.concat_ws(" ", F.slice(F.col("_u"), i, n))  # noqa: E731
     else:
         raise ValueError(f"unknown shingle unit {unit!r}")
     # Guard: Spark's sequence(1, 0) counts *down* — short docs need an
@@ -72,10 +85,7 @@ def shingles(
         n_grams >= 1,
         F.transform(F.sequence(F.lit(1), n_grams), gram),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return base.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(

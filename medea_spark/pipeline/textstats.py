@@ -209,11 +209,26 @@ def doc_trigrams(col: Column | str) -> Column:
     """Distinct character trigrams of the normalized text — the
     document side of the language-ID overlap (exported so tests and
     oracle generators share one definition).  ``sequence(1, 0)`` counts
-    DOWN in Spark, hence the ``greatest`` guard for tiny inputs."""
+    DOWN in Spark, hence the ``greatest`` guard for tiny inputs.
+
+    The normalized text is LET-BOUND via a single-element array whose
+    transform lambda receives it as a variable: capturing the raw
+    normalization expression in the per-index lambda would re-run the
+    double regexp once per trigram (interpreted-HOF capture, the
+    CLAUDE.md lang_scores class) — O(chars²) regex work per document.
+    A lambda variable is a cheap reference, so the normalization runs
+    once per row even though this is a pure Column function with no
+    DataFrame to stage a column on."""
     c = F.col(col) if isinstance(col, str) else col
     t = _normalized_padded(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, F.lit(3))))
+
+    def grams(tv: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(tv) - 2, F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substring(tv, i, F.lit(3)))
+        )
+
+    return F.element_at(F.transform(F.array(t), grams), 1)
 
 
 def lang_scores(trigrams_col: Column | str) -> Column:
