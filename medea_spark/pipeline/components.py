@@ -69,9 +69,18 @@ def connected_components(
     separate convergence job)."""
     if algorithm not in ("propagation", "star"):
         raise ValueError(f"algorithm must be 'propagation' or 'star', got {algorithm!r}")
-    e0 = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # The edge relation is typically the OUTPUT of a candidate
+    # generator (LSH bucket join, SimHash bands) — an expensive
+    # subtree.  It feeds two consumers (the symmetric neighbor
+    # relation and the node universe), so persist it or the generator
+    # runs once per consumer (the CLAUDE.md unpersisted-consumer
+    # class).  Edge-sized, already the algorithm's working set.
+    e0 = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).persist()
     if algorithm == "star":
-        return _star_components(e0, max_iter)
+        try:
+            return _star_components(e0, max_iter)
+        finally:
+            e0.unpersist()
     e = e0.filter(F.col("u") != F.col("v"))
     # Symmetric neighbor relation, reused every round.
     sym = e.unionByName(
@@ -126,6 +135,7 @@ def connected_components(
                 return labels.select("node", F.col("label").alias("component"))
     finally:
         sym.unpersist()
+        e0.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the dedup-shaped bound; raise "
