@@ -162,9 +162,15 @@ def psi_statistic(
         F.coalesce(F.col("b"), F.lit(0)).alias("b"),
     )
     totals = joined.agg(F.sum("o").alias("n_cur"), F.sum("b").alias("n_base"))
+    # nullif-guard the totals (matching ks_statistic): an empty side
+    # yields NULL metrics instead of an ANSI DIVIDE_BY_ZERO job failure.
     with_p = joined.crossJoin(F.broadcast(totals)).select(
-        F.greatest(F.col("o") / F.col("n_cur"), F.lit(epsilon)).alias("p"),
-        F.greatest(F.col("b") / F.col("n_base"), F.lit(epsilon)).alias("q"),
+        F.greatest(
+            F.col("o") / F.nullif(F.col("n_cur"), F.lit(0)), F.lit(epsilon)
+        ).alias("p"),
+        F.greatest(
+            F.col("b") / F.nullif(F.col("n_base"), F.lit(0)), F.lit(epsilon)
+        ).alias("q"),
     )
     return with_p.agg(
         # round(6): the handful-of-cells sum is reproducible far beyond
@@ -358,9 +364,11 @@ def wasserstein_distance(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     nxt = Window.orderBy("x")
+    # nullif-guard the whole-frame totals (matching ks_statistic): a
+    # one-sided input yields NULL ECDF terms, not ANSI DIVIDE_BY_ZERO.
     ecdf = j.select(
-        (F.sum("ca").over(cum) / F.sum("ca").over(wall)).alias("fa"),
-        (F.sum("cb").over(cum) / F.sum("cb").over(wall)).alias("fb"),
+        (F.sum("ca").over(cum) / F.nullif(F.sum("ca").over(wall), F.lit(0))).alias("fa"),
+        (F.sum("cb").over(cum) / F.nullif(F.sum("cb").over(wall), F.lit(0))).alias("fb"),
         (F.lead("x").over(nxt) - F.col("x")).alias("gap"),
         F.sum("ca").over(wall).alias("n_a"),
         F.sum("cb").over(wall).alias("n_b"),

@@ -39,6 +39,10 @@ def chunk_documents(
     offset; ``chunk_id`` is 0-based and dense per document."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    if overlap < 0:
+        # negative overlap silently makes stride > chunk_tokens, dropping
+        # the tokens between consecutive windows (round-5 advice)
+        raise ValueError("overlap must be >= 0")
     stride = chunk_tokens - overlap
     c = F.col(text_col)
     t = F.trim(c)

@@ -280,6 +280,20 @@ def quality_keepers(
     ``cluster_col`` and nothing sorts; no per-cluster row blowup, no
     skew beyond the largest cluster's row count.
     """
+    from pyspark.sql.types import NumericType
+
+    # The argmax tie-break negates the id (min-id via max(-id)), which
+    # needs a NUMERIC id: a string id would fail under ANSI mode or
+    # silently yield NULL keepers with ANSI off (round-5 advice).
+    # duplicate_clusters itself accepts string doc ids — validate here.
+    id_type = clusters.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"quality_keepers needs a numeric {id_col!r} (got "
+            f"{id_type.simpleString()}): the min-id tie-break is computed "
+            "as max(-id). Map string ids to a numeric surrogate first "
+            "(e.g. xxhash64) or rank with a window instead."
+        )
     scored = clusters.select(id_col, cluster_col).join(
         quality.select(id_col, score_col), [id_col], "left"
     )

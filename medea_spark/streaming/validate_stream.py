@@ -237,6 +237,15 @@ def incremental_dedup_stream(
     history-internal pairs — which is exactly what the DuckDB oracle
     recomputes, however the files were micro-batched.
 
+    Precondition: ``index_path`` must already hold a (bootstrapped)
+    band-index parquet — the first micro-batch reads it unconditionally
+    and fails with AnalysisException otherwise.  Bootstrap an empty
+    history with the batch builder first (``minhash_band_index(...)
+    .write.parquet(index_path)``, or ``jobs/ingest_dedup_job.py
+    --bootstrap``); an intentionally empty index is an empty DataFrame
+    written to the same path (round-5 advice: the precondition is part
+    of the operator contract, not an accident of the tests).
+
     Dedup/restart semantics: parquet appends in foreachBatch are
     at-least-once on failure/replay — consumers must read the pairs
     relation with ``distinct()``.  Replays stay benign BECAUSE the
