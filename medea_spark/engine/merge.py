@@ -55,17 +55,25 @@ def merge_upsert(
             f"markers ('_has_u', '_u_<col>') — rename them first"
         )
     if assert_unique:
-        for side, df in (("base", base), ("updates", updates)):
-            dup = (
-                df.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("c"))
-                .filter(F.col("c") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                vals = {k: dup[0][k] for k in keys}
-                raise ValueError(f"duplicate key in {side}: {vals}")
+        # ONE eager job for both sides: tag and union, group once —
+        # two per-side collect jobs paid double task-launch latency for
+        # row counts this check never needs to scale with.
+        tagged = base.select(
+            F.lit("base").alias("_side"), *[F.col(k) for k in keys]
+        ).unionByName(
+            updates.select(F.lit("updates").alias("_side"), *[F.col(k) for k in keys])
+        )
+        dup = (
+            tagged.groupBy("_side", *keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .orderBy("_side")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            vals = {k: dup[0][k] for k in keys}
+            raise ValueError(f"duplicate key in {dup[0]['_side']}: {vals}")
 
     payload = [c for c in base.columns if c not in keys]
     u = updates.select(*keys, *[F.col(c).alias(f"_u_{c}") for c in payload]).withColumn(
