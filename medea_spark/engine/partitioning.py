@@ -35,14 +35,19 @@ def detect_skewed_keys(
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt")).persist()
     try:
-        # total from the aggregated relation — one scan of df, not two
-        # (df.count() would re-scan the full table).
-        total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
-        if total == 0:
-            return []
-        threshold = max(1, int(total * skew_fraction))
+        # ONE driver read: the total rides the plan as a one-row
+        # broadcast aggregate (the persisted counts relation feeds both
+        # branches), and the threshold — max(1, int(total·fraction)),
+        # int() truncation == floor for non-negative values — is
+        # computed in-plan, so the previous total-collect job is gone.
+        total_rel = counts.agg(F.sum("cnt").alias("_total"))
+        threshold = F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("_total") * F.lit(skew_fraction)).cast("long"),
+        )
         rows = (
-            counts.filter(F.col("cnt") >= threshold)
+            counts.crossJoin(F.broadcast(total_rel))
+            .filter(F.col("cnt") >= threshold)
             .orderBy(F.desc("cnt"))
             .limit(max_keys)
             .collect()
