@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size instead of padding every
+        # post-shuffle stage back up to defaultParallelism — the
+        # setting Spark's SQL tuning guide recommends ("it's
+        # recommended to set this config to false").  Small aggregate
+        # exchanges coalesce to task counts matching their bytes;
+        # explicit repartition(n) calls (the kernel-parallelism paths)
+        # are REPARTITION_BY_NUM and never coalesced, so CPU-bound
+        # kernel stages keep their width.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
