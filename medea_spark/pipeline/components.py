@@ -6,13 +6,15 @@ EDGES, but the thing a dedup job acts on is the CLUSTER — keep one
 document per connected component.  Spark has no built-in; two
 DataFrame-only algorithms are provided:
 
-* ``algorithm="propagation"`` (default): standard min-label
-  propagation — ``label(n) ← min(label(n), neighbors' labels)`` to a
-  fixpoint.  One shuffle per round, rounds bounded by the component
-  DIAMETER.  Near-dup clusters are shallow (a duplicate family
-  collapses in 2-3 hops), so this is a handful of rounds even at
-  10^12 documents.  The convergence signal rides the SAME aggregation
-  that produces the new labels (``Dataset.observe`` on the
+* ``algorithm="propagation"`` (default): min-label propagation with
+  pointer jumping — ``label(n) ← min(label(n), neighbors' labels)``
+  followed by one shortcut hop ``label ← min(label, label(label))``
+  per round, to a fixpoint.  Rounds are bounded by LOG of the
+  component diameter (the jump halves remaining path length), so even
+  chain-shaped components close in a handful of rounds; near-dup
+  clusters are shallow anyway (a duplicate family collapses in 2-3
+  hops).  The convergence signal rides the SAME aggregation that
+  produces the new labels (``Dataset.observe`` on the
   eagerly-checkpointed round output) — one job per round, not two.
 
 * ``algorithm="star"``: the alternating large-star / small-star
@@ -56,17 +58,17 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the smallest node id in the node's connected
     component.  Raises if the fixpoint is not reached in ``max_iter``
-    rounds (for ``propagation`` that is a diameter bound — a malformed
-    input for the dedup-shaped graphs it targets; switch to
-    ``algorithm="star"`` for long-chain graphs, which needs only
-    O(log n) rounds).
+    rounds (with pointer jumping that is a log-diameter bound — a
+    malformed input for any realistic graph; ``algorithm="star"``
+    remains as an O(log n)-round alternative with different per-round
+    shuffle structure).
 
     Each propagation iteration: propagate every node's current label to
-    all of its neighbors, keep the per-node minimum.  Labels only ever
-    decrease and are bounded below by the true component minimum, so
-    the loop terminates in ≤ diameter rounds; the changed-label count
-    is observed on the same job that materializes the round (no
-    separate convergence job)."""
+    all of its neighbors, keep the per-node minimum, then shortcut one
+    hop through the fresh label table.  Labels only ever decrease and
+    are bounded below by the true component minimum, so the loop
+    terminates; the changed-label count is observed on the same job
+    that materializes the round (no separate convergence job)."""
     if algorithm not in ("propagation", "star"):
         raise ValueError(f"algorithm must be 'propagation' or 'star', got {algorithm!r}")
     # The edge relation is typically the OUTPUT of a candidate
@@ -115,13 +117,36 @@ def connected_components(
             agg = merged.groupBy("node").agg(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("_self"), F.col("label"))).alias("_old"),
+            ).persist()  # two consumers below (rows + parent side of the jump)
+            # Pointer jump (path shortcutting): label ← min(label,
+            # label(label)).  Every label value IS a node id, so the
+            # self-join always finds the parent row; shortcutting turns
+            # the O(diameter) round bound into O(log diameter) on
+            # chain-shaped components while leaving star-shaped dedup
+            # families at their 2-3 rounds.  Invariant preserved: the
+            # jumped label is still a same-component node id and still
+            # only ever decreases toward the component minimum.
+            parent = agg.select(
+                F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
             )
-            # Labels only decrease, so label < _old IFF this node changed.
-            # observe() rides the localCheckpoint job — the convergence
-            # count costs zero extra jobs per round.
+            jumped = agg.join(
+                parent, agg["label"] == parent["_pnode"], "left"
+            ).select(
+                agg["node"],
+                F.least(
+                    agg["label"], F.coalesce(F.col("_plabel"), agg["label"])
+                ).alias("label"),
+                agg["_old"].alias("_old"),
+            )
+            # Labels only decrease, so label < _old IFF this node changed
+            # (changed counts the POST-jump labels: zero changed implies
+            # the neighbor-min step alone was also a fixpoint, which is
+            # the per-edge label-equality condition).  observe() rides
+            # the localCheckpoint job — the convergence count costs zero
+            # extra jobs per round.
             obs = Observation()
             new_labels = (
-                agg.observe(
+                jumped.observe(
                     obs,
                     F.sum(
                         (F.col("label") < F.col("_old")).cast("long")
@@ -130,6 +155,7 @@ def connected_components(
                 .select("node", "label")
                 .localCheckpoint()
             )
+            agg.unpersist()
             labels = new_labels
             if (obs.get["changed"] or 0) == 0:
                 return labels.select("node", F.col("label").alias("component"))
@@ -138,7 +164,7 @@ def connected_components(
         e0.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "component diameter exceeds the dedup-shaped bound; raise "
+        "log(component diameter) exceeds the round budget; raise "
         "max_iter or use algorithm='star' (O(log n) rounds)"
     )
 

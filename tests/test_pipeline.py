@@ -1112,23 +1112,30 @@ def test_connected_components_self_loop_only_nodes(spark):
     assert rows == {9: (9, True)}
 
 
-def test_connected_components_star_beats_diameter_bound(spark):
-    """A 60-node path has diameter 59: propagation at max_iter=8 trips
-    the guard, while large-star/small-star converges within 8 rounds
-    (O(log n)) and labels every node with the chain minimum."""
+def test_connected_components_log_diameter_bound(spark):
+    """A 60-node path has diameter 59: pointer-jumping propagation
+    (round-6 optimization: label ← min(label, label(label)) each round)
+    closes it within 8 rounds — the pre-jump diameter-bound loop could
+    not — and still trips the non-convergence guard when the budget is
+    below the log bound.  Star converges within 8 rounds as before."""
     import pytest
 
     from medea_spark.pipeline import connected_components
 
     n = 60
     df = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
-    with pytest.raises(RuntimeError, match="algorithm='star'"):
-        connected_components(df, max_iter=8)
     got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+    with pytest.raises(RuntimeError, match="algorithm='star'"):
+        connected_components(df, max_iter=2)
+    got_star = {
         r.node: r.component
         for r in connected_components(df, max_iter=8, algorithm="star").collect()
     }
-    assert got == {i: 0 for i in range(n + 1)}
+    assert got_star == {i: 0 for i in range(n + 1)}
 
 
 def test_connected_components_star_random_graph_vs_union_find(spark):
