@@ -103,17 +103,8 @@ def contamination_report(
     array (see module docstring).  Set ``broadcast_eval=False`` for a
     pathologically large eval side (falls back to a shuffle join,
     still no row blowup beyond the n-gram explode)."""
-    # Eval side staged like the corpus side: the convenience
-    # ngram_hashes() form re-runs tokenization per n-gram (captured
-    # expression in the interpreted lambda) — cold-path-acceptable for
-    # tiny eval sets, but eval sets grow with the benchmark suite.
     eval_hashes = (
-        eval_df.select(_norm_tokens(F.col(eval_text)).alias("_toks"))
-        .select(
-            F.size("_toks").alias("_nt"),  # stage pin (see corpus side)
-            ngram_hashes_from_tokens(F.col("_toks"), n).alias("_ehs"),
-        )
-        .select(F.explode("_ehs").alias("_h"))
+        eval_df.select(F.explode(ngram_hashes(F.col(eval_text), n)).alias("_h"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
