@@ -72,15 +72,24 @@ def _events_graph():
     return _EVENTS_GRAPH
 
 
-def _events_with_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_with_content(
+    spark: SparkSession, sf_dir: str, widen: bool = True
+) -> DataFrame:
     """events.props with deterministic corruption injected so every
     validation-error class occurs; the DuckDB oracle applies the same
-    mutation expression (see _ORACLE_CONTENT)."""
+    mutation expression (see _ORACLE_CONTENT).
+
+    ``widen=True`` (default) applies ensure_kernel_parallelism for
+    consumers that run the Arrow kernel directly on this relation.
+    Stream-staging callers pass ``widen=False``: their only job here is
+    a cheap codegen mutation feeding a repartition+write (the kernel
+    runs later inside the micro-batches), so the widening exchange
+    would just shuffle the content bytes twice."""
     from medea_spark.engine import ensure_kernel_parallelism
 
-    events = ensure_kernel_parallelism(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if widen:
+        events = ensure_kernel_parallelism(events)
     m = F.col("event_id") % 11
     content = (
         F.when(m == 0, F.substring("props", 2, 1_000_000_000))
@@ -314,7 +323,7 @@ def q_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Watermarks require TIMESTAMP (the parquet column is NTZ; session
     # timezone is UTC so the cast is value-preserving).
-    prepared = _events_with_content(spark, sf_dir).select(
+    prepared = _events_with_content(spark, sf_dir, widen=False).select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "content"
     )
     prepared.repartition(8).write.mode("overwrite").parquet(_STREAM_INPUT_PATH)
@@ -1479,7 +1488,7 @@ def q_repo_violation_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from medea_spark.streaming import repo_violation_state, validate_stream
 
-    prepared = _events_with_content(spark, sf_dir).select(
+    prepared = _events_with_content(spark, sf_dir, widen=False).select(
         "event_id",
         F.concat(F.lit("repo"), (F.col("event_id") % 13).cast("string")).alias("repo"),
         "content",
